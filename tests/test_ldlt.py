@@ -1,0 +1,106 @@
+"""LDL^T kernel tests: factorization accuracy, inertia, singularity, batching.
+
+Direct analogue of the reference's functional solver tests on fixed small
+systems with known solutions and inertia (SURVEY.md §4,
+unotest/functional_tests/MA57SolverTests.cpp style).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uno_tpu.linalg import ldlt_factor, ldlt_factor_blocked, ldlt_solve, ldlt_refine
+
+
+def fixed_system():
+    # a fixed 5x5 symmetric-indefinite system with known solution;
+    # true inertia (2, 3, 0) (verified against eigvalsh)
+    A = np.array([
+        [2.0, 3.0, 0.0, 3.0, 0.0],
+        [3.0, 0.0, 4.0, 6.0, 1.0],
+        [0.0, 4.0, 1.0, 0.0, 5.0],
+        [3.0, 6.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 5.0, 0.0, 0.0],
+    ])
+    rhs = np.array([8.0, 45.0, 31.0, 15.0, 17.0])
+    return A, rhs
+
+
+@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked])
+def test_factor_solve_fixed_system(factor):
+    A, rhs = fixed_system()
+    fac = factor(jnp.asarray(A))
+    x = ldlt_solve(fac, jnp.asarray(rhs))
+    assert np.allclose(np.asarray(A @ x), rhs, atol=1e-8)
+    # reconstruction
+    L, d = np.asarray(fac.L), np.asarray(fac.d)
+    assert np.allclose(L @ np.diag(d) @ L.T, A, atol=1e-8)
+
+
+@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked])
+def test_inertia_saddle_point(factor):
+    A, _ = fixed_system()
+    fac = factor(jnp.asarray(A))
+    assert (int(fac.num_pos), int(fac.num_neg), int(fac.num_zero)) == (2, 3, 0)
+
+
+@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked])
+def test_inertia_definite(factor):
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((12, 12))
+    spd = B @ B.T + 12 * np.eye(12)
+    fac = factor(jnp.asarray(spd))
+    assert (int(fac.num_pos), int(fac.num_neg), int(fac.num_zero)) == (12, 0, 0)
+    fac = factor(jnp.asarray(-spd))
+    assert (int(fac.num_pos), int(fac.num_neg), int(fac.num_zero)) == (0, 12, 0)
+
+
+@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked])
+def test_singular_detection(factor):
+    # rank-deficient matrix: diag(1, 1, 0) in a rotated basis would pivot to
+    # zero; use a plainly singular arrowhead
+    A = np.array([
+        [1.0, 0.0, 1.0],
+        [0.0, 1.0, 1.0],
+        [1.0, 1.0, 2.0],
+    ])  # third row = row1 + row2 -> singular
+    fac = factor(jnp.asarray(A))
+    assert int(fac.num_zero) >= 1
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 33, 64, 101])
+def test_random_sizes_blocked_vs_plain(n):
+    rng = np.random.default_rng(n)
+    B = rng.standard_normal((n, n))
+    A = (B + B.T) / 2 + np.diag(rng.uniform(1, 2, n)) * n  # diag dominant-ish
+    rhs = rng.standard_normal(n)
+    f1 = ldlt_factor(jnp.asarray(A))
+    f2 = ldlt_factor_blocked(jnp.asarray(A), block=16)
+    x1 = np.asarray(ldlt_solve(f1, jnp.asarray(rhs)))
+    x2 = np.asarray(ldlt_solve(f2, jnp.asarray(rhs)))
+    assert np.allclose(A @ x1, rhs, atol=1e-7)
+    assert np.allclose(x1, x2, atol=1e-7)
+    assert int(f1.num_pos) == int(f2.num_pos)
+    assert int(f1.num_neg) == int(f2.num_neg)
+
+
+def test_vmap_batched_factorization():
+    rng = np.random.default_rng(3)
+    n, batch = 16, 8
+    Bs = rng.standard_normal((batch, n, n))
+    As = (Bs + np.transpose(Bs, (0, 2, 1))) / 2 + 20 * np.eye(n)
+    rhs = rng.standard_normal((batch, n))
+    facs = jax.vmap(lambda A: ldlt_factor_blocked(A, block=8))(jnp.asarray(As))
+    xs = jax.vmap(ldlt_solve)(facs, jnp.asarray(rhs))
+    assert np.allclose(np.einsum("bij,bj->bi", As, np.asarray(xs)), rhs, atol=1e-7)
+
+
+def test_f32_with_refinement():
+    A, rhs = fixed_system()
+    A32 = jnp.asarray(A, dtype=jnp.float32)
+    rhs32 = jnp.asarray(rhs, dtype=jnp.float32)
+    fac = ldlt_factor(A32)
+    x = ldlt_solve(fac, rhs32)
+    x = ldlt_refine(A32, fac, rhs32, x)
+    assert np.allclose(np.asarray(A @ np.asarray(x, dtype=np.float64)), rhs, atol=1e-3)

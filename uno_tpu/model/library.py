@@ -1,0 +1,266 @@
+"""Built-in test problems.
+
+hs015 / polak5 mirror the reference's example fixtures
+(/root/reference/examples/hs015.mod, polak5.mod); the rest are classic
+Hock-Schittkowski problems used as an end-to-end correctness suite (the
+reference relies on MINLPTests/CUTEst externally, SURVEY.md §4).
+
+Known optimal objective values are from the Hock-Schittkowski collection.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from uno_tpu.model.nlp import NLP, nlp_from_functions, INF
+
+_REGISTRY: dict = {}
+
+
+def register(name, f_star=None):
+    def deco(builder):
+        _REGISTRY[name] = (builder, f_star)
+        return builder
+    return deco
+
+
+def get_problem(name: str) -> NLP:
+    return _REGISTRY[name][0]()
+
+
+def known_optimum(name: str):
+    return _REGISTRY[name][1]
+
+
+def problem_names():
+    return sorted(_REGISTRY)
+
+
+@register("hs015", f_star=306.5)
+def hs015():
+    # min 100(x2-x1^2)^2 + (1-x1)^2
+    # s.t. x1*x2 >= 1; x1 + x2^2 >= 0; x1 <= 1/2  (examples/hs015.mod)
+    def f(x):
+        return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+    def c(x):
+        return jnp.array([x[0] * x[1], x[0] + x[1] ** 2])
+
+    return nlp_from_functions(
+        "hs015", f, c,
+        x0=[-2.0, 1.0],
+        x_lb=[-INF, -INF], x_ub=[0.5, INF],
+        c_lb=[1.0, 0.0], c_ub=[INF, INF],
+    )
+
+
+@register("polak5", f_star=50.0)
+def polak5():
+    # min u  s.t. -u+3x1^2+50(x1-x2^4-1)^2 <= 0 ; -u+3x1^2+50(x1-x2^4+1)^2 <= 0
+    # variables (x1, x2, u), start (0.1, 0.1, 0)  (examples/polak5.mod)
+    def f(x):
+        return x[2]
+
+    def c(x):
+        t = 3.0 * x[0] ** 2
+        return jnp.array([
+            -x[2] + t + 50.0 * (x[0] - x[1] ** 4 - 1.0) ** 2,
+            -x[2] + t + 50.0 * (x[0] - x[1] ** 4 + 1.0) ** 2,
+        ])
+
+    return nlp_from_functions(
+        "polak5", f, c,
+        x0=[0.1, 0.1, 0.0],
+        c_lb=[-INF, -INF], c_ub=[0.0, 0.0],
+    )
+
+
+@register("hs001", f_star=0.0)
+def hs001():
+    def f(x):
+        return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+    return nlp_from_functions("hs001", f, None, x0=[-2.0, 1.0],
+                              x_lb=[-INF, -1.5], x_ub=[INF, INF])
+
+
+@register("hs006", f_star=0.0)
+def hs006():
+    def f(x):
+        return (1.0 - x[0]) ** 2
+
+    def c(x):
+        return jnp.array([10.0 * (x[1] - x[0] ** 2)])
+
+    return nlp_from_functions("hs006", f, c, x0=[-1.2, 1.0],
+                              c_lb=[0.0], c_ub=[0.0])
+
+
+@register("hs007", f_star=-np.sqrt(3.0))
+def hs007():
+    def f(x):
+        return jnp.log(1.0 + x[0] ** 2) - x[1]
+
+    def c(x):
+        return jnp.array([(1.0 + x[0] ** 2) ** 2 + x[1] ** 2])
+
+    return nlp_from_functions("hs007", f, c, x0=[2.0, 2.0],
+                              c_lb=[4.0], c_ub=[4.0])
+
+
+@register("hs010", f_star=-1.0)
+def hs010():
+    def f(x):
+        return x[0] - x[1]
+
+    def c(x):
+        return jnp.array([-3.0 * x[0] ** 2 + 2.0 * x[0] * x[1] - x[1] ** 2 + 1.0])
+
+    return nlp_from_functions("hs010", f, c, x0=[-10.0, 10.0],
+                              c_lb=[0.0], c_ub=[INF])
+
+
+@register("hs014", f_star=9.0 - 2.875 * np.sqrt(7.0))
+def hs014():
+    def f(x):
+        return (x[0] - 2.0) ** 2 + (x[1] - 1.0) ** 2
+
+    def c(x):
+        return jnp.array([
+            x[0] - 2.0 * x[1],                       # == -1
+            -0.25 * x[0] ** 2 - x[1] ** 2 + 1.0,     # >= 0
+        ])
+
+    return nlp_from_functions("hs014", f, c, x0=[2.0, 2.0],
+                              c_lb=[-1.0, 0.0], c_ub=[-1.0, INF])
+
+
+@register("hs016", f_star=0.25)
+def hs016():
+    def f(x):
+        return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+    def c(x):
+        return jnp.array([x[0] + x[1] ** 2, x[0] ** 2 + x[1]])
+
+    return nlp_from_functions(
+        "hs016", f, c, x0=[-2.0, 1.0],
+        x_lb=[-2.0, -INF], x_ub=[0.5, 1.0],
+        c_lb=[0.0, 0.0], c_ub=[INF, INF],
+    )
+
+
+@register("hs021", f_star=-99.96)
+def hs021():
+    def f(x):
+        return 0.01 * x[0] ** 2 + x[1] ** 2 - 100.0
+
+    def c(x):
+        return jnp.array([10.0 * x[0] - x[1]])
+
+    return nlp_from_functions(
+        "hs021", f, c, x0=[-1.0, -1.0],
+        x_lb=[2.0, -50.0], x_ub=[50.0, 50.0],
+        c_lb=[10.0], c_ub=[INF],
+    )
+
+
+@register("hs035", f_star=1.0 / 9.0)
+def hs035():
+    def f(x):
+        return (9.0 - 8.0 * x[0] - 6.0 * x[1] - 4.0 * x[2]
+                + 2.0 * x[0] ** 2 + 2.0 * x[1] ** 2 + x[2] ** 2
+                + 2.0 * x[0] * x[1] + 2.0 * x[0] * x[2])
+
+    def c(x):
+        return jnp.array([3.0 - x[0] - x[1] - 2.0 * x[2]])
+
+    return nlp_from_functions(
+        "hs035", f, c, x0=[0.5, 0.5, 0.5],
+        x_lb=[0.0, 0.0, 0.0], x_ub=[INF, INF, INF],
+        c_lb=[0.0], c_ub=[INF],
+    )
+
+
+@register("hs038", f_star=0.0)
+def hs038():
+    def f(x):
+        return (100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+                + 90.0 * (x[3] - x[2] ** 2) ** 2 + (1.0 - x[2]) ** 2
+                + 10.1 * ((x[1] - 1.0) ** 2 + (x[3] - 1.0) ** 2)
+                + 19.8 * (x[1] - 1.0) * (x[3] - 1.0))
+
+    return nlp_from_functions(
+        "hs038", f, None, x0=[-3.0, -1.0, -3.0, -1.0],
+        x_lb=[-10.0] * 4, x_ub=[10.0] * 4,
+    )
+
+
+@register("hs048", f_star=0.0)
+def hs048():
+    def f(x):
+        return (x[0] - 1.0) ** 2 + (x[1] - x[2]) ** 2 + (x[3] - x[4]) ** 2
+
+    def c(x):
+        return jnp.array([
+            x[0] + x[1] + x[2] + x[3] + x[4],
+            x[2] - 2.0 * (x[3] + x[4]),
+        ])
+
+    return nlp_from_functions(
+        "hs048", f, c, x0=[3.0, 5.0, -3.0, 2.0, -2.0],
+        c_lb=[5.0, -3.0], c_ub=[5.0, -3.0],
+    )
+
+
+@register("hs071", f_star=17.0140173)
+def hs071():
+    def f(x):
+        return x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2]
+
+    def c(x):
+        return jnp.array([
+            x[0] * x[1] * x[2] * x[3],
+            x[0] ** 2 + x[1] ** 2 + x[2] ** 2 + x[3] ** 2,
+        ])
+
+    return nlp_from_functions(
+        "hs071", f, c, x0=[1.0, 5.0, 5.0, 1.0],
+        x_lb=[1.0] * 4, x_ub=[5.0] * 4,
+        c_lb=[25.0, 40.0], c_ub=[INF, 40.0],
+    )
+
+
+@register("hs100", f_star=680.6300573)
+def hs100():
+    def f(x):
+        return ((x[0] - 10.0) ** 2 + 5.0 * (x[1] - 12.0) ** 2 + x[2] ** 4
+                + 3.0 * (x[3] - 11.0) ** 2 + 10.0 * x[4] ** 6 + 7.0 * x[5] ** 2
+                + x[6] ** 4 - 4.0 * x[5] * x[6] - 10.0 * x[5] - 8.0 * x[6])
+
+    def c(x):
+        return jnp.array([
+            127.0 - 2.0 * x[0] ** 2 - 3.0 * x[1] ** 4 - x[2] - 4.0 * x[3] ** 2 - 5.0 * x[4],
+            282.0 - 7.0 * x[0] - 3.0 * x[1] - 10.0 * x[2] ** 2 - x[3] + x[4],
+            196.0 - 23.0 * x[0] - x[1] ** 2 - 6.0 * x[5] ** 2 + 8.0 * x[6],
+            -4.0 * x[0] ** 2 - x[1] ** 2 + 3.0 * x[0] * x[1] - 2.0 * x[2] ** 2 - 5.0 * x[5] + 11.0 * x[6],
+        ])
+
+    return nlp_from_functions(
+        "hs100", f, c, x0=[1.0, 2.0, 0.0, 4.0, 0.0, 1.0, 1.0],
+        c_lb=[0.0] * 4, c_ub=[INF] * 4,
+    )
+
+
+@register("rosenbrock_eq", f_star=0.0)
+def rosenbrock_eq():
+    # an infeasible-start equality-constrained Rosenbrock variant
+    def f(x):
+        return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2
+
+    def c(x):
+        return jnp.array([x[0] ** 2 + x[1] ** 2])
+
+    return nlp_from_functions("rosenbrock_eq", f, c, x0=[2.0, 2.0],
+                              c_lb=[2.0], c_ub=[2.0])
