@@ -1,0 +1,98 @@
+"""End-to-end IPM (ipopt preset) tests on the built-in problem library.
+
+Mirrors the reference's CI tier: end-to-end preset runs against problems
+with known optima at atol/rtol 1e-4 (SURVEY.md §4,
+.github/julia/runtests_uno_ipopt_ma27.jl).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import uno_tpu
+from uno_tpu.model.library import (acceptable_optima, get_problem,
+                                   problem_names)
+
+ALL = problem_names()
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_ipopt_preset(name):
+    nlp = get_problem(name)
+    res = uno_tpu.solve(nlp, preset="ipopt")
+    assert res.success, f"{name}: {res.status}"
+    optima = acceptable_optima(name)
+    if optima:
+        err = min(abs(res.objective - f) / max(1.0, abs(f)) for f in optima)
+        assert err <= 1e-4, f"{name}: f={res.objective}, acceptable={optima}"
+    # residuals of the ORIGINAL problem at the reported solution
+    assert res.primal_feasibility <= 1e-6
+    assert res.stationarity <= 1e-5  # scaled
+
+
+def test_kkt_conditions_at_solution():
+    """Verify the returned multipliers satisfy KKT of the *original* problem."""
+    nlp = get_problem("hs071")
+    res = uno_tpu.solve(nlp, preset="ipopt")
+    x = jnp.asarray(res.x)
+    g = np.asarray(nlp.objective_gradient(x))
+    J = np.asarray(nlp.constraint_jacobian(x))
+    grad_lag = g - J.T @ res.y - res.zl - res.zu
+    assert np.max(np.abs(grad_lag)) < 1e-5
+    # sign conventions: zl >= 0, zu <= 0; ineq multiplier y1 >= 0 (lower bound)
+    assert np.all(res.zl >= -1e-10) and np.all(res.zu <= 1e-10)
+    assert res.y[0] >= -1e-10
+
+
+def test_restoration_phase_triggers_and_recovers():
+    """A problem whose optimality steps fail early should pass through the
+    feasibility restoration phase and still converge (hs015 does on this
+    solver — verified in the iteration trace)."""
+    nlp = get_problem("hs015")
+    res = uno_tpu.solve(nlp, preset="ipopt")
+    assert res.success
+    assert abs(res.objective - 306.5) < 1e-3
+
+
+def test_unconstrained_bound_only():
+    res = uno_tpu.solve(get_problem("hs038"), preset="ipopt")
+    assert res.success and res.objective < 1e-10
+
+
+def test_infeasible_problem_detected():
+    # x^2 <= -1 is infeasible everywhere
+    nlp = uno_tpu.nlp_from_functions(
+        "infeasible", lambda x: (x[0] - 1.0) ** 2,
+        lambda x: jnp.array([x[0] ** 2 + 1.0]),
+        x0=[2.0], c_lb=[-np.inf], c_ub=[0.0])
+    res = uno_tpu.solve(nlp, preset="ipopt", max_iterations=300)
+    assert res.status in ("infeasible_stationary_point", "algorithmic_error",
+                          "iteration_limit")
+    # must not claim optimality
+    assert not res.success
+
+
+def test_unbounded_problem_detected():
+    nlp = uno_tpu.nlp_from_functions("unbounded", lambda x: x[0], None, x0=[0.0])
+    res = uno_tpu.solve(nlp, preset="ipopt", max_iterations=300)
+    assert res.status == "unbounded"
+
+
+def test_option_overrides():
+    nlp = get_problem("hs035")
+    res_loose = uno_tpu.solve(nlp, preset="ipopt", tolerance=1e-4)
+    assert res_loose.success
+    assert res_loose.iterations <= 10
+
+
+def test_max_iterations_respected():
+    nlp = get_problem("hs015")
+    res = uno_tpu.solve(nlp, preset="ipopt", max_iterations=3)
+    assert res.status == "iteration_limit"
+    assert res.iterations == 3
+
+
+def test_equality_only_problem():
+    res = uno_tpu.solve(get_problem("hs048"), preset="ipopt")
+    assert res.success and abs(res.objective) < 1e-8

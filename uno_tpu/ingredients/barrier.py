@@ -1,0 +1,123 @@
+"""Primal-dual barrier machinery (vectorized, mask-based).
+
+TPU-native counterpart of the reference's PrimalDualInteriorPointProblem
+(/root/reference/uno/ingredients/inequality_handling_methods/interior_point_methods/
+PrimalDualInteriorPointProblem.cpp): barrier gradient/Hessian terms with
+damping for single-bounded variables (:24-46, :56-78), interior push (:241-249),
+fraction-to-boundary rules (:281-325), bound-dual recovery (:262-278),
+k_sigma multiplier rescale / Eq.16 of the IPOPT paper (:348-387), centrality
+error (:389-405).  The reference iterates over index-set Collections; here
+every rule is a masked vector expression that XLA fuses.
+
+All functions take explicit bound arrays and boolean masks; "infinite" bounds
+are assumed already replaced by +/-huge, and masked slots contribute zero.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def push_to_interior(x, lb, ub, k1, k2):
+    """x := clip into the strict interior (IPOPT Sect. 3.6):
+    perturbation = min(k1*max(1,|bound|), k2*(ub-lb))."""
+    rng = ub - lb
+    pert_lb = jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(lb)), k2 * rng)
+    pert_ub = jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(ub)), k2 * rng)
+    return jnp.minimum(jnp.maximum(x, lb + pert_lb), ub - pert_ub)
+
+
+def barrier_gradient(x, lb, ub, has_lb, has_ub, mu, damping):
+    """Primal barrier gradient term per variable:
+    -mu/(x-lb) (lower bounded, +damping*mu if only lower),
+    -mu/(x-ub) (upper bounded, -damping*mu if only upper)."""
+    single_lb = has_lb & ~has_ub
+    single_ub = has_ub & ~has_lb
+    g = jnp.where(has_lb, -mu / (x - lb) + jnp.where(single_lb, damping * mu, 0.0), 0.0)
+    g = g + jnp.where(has_ub, -mu / (x - ub) - jnp.where(single_ub, damping * mu, 0.0), 0.0)
+    return g
+
+
+def barrier_hessian_diag(x, zl, zu, lb, ub, has_lb, has_ub):
+    """Primal-dual barrier Hessian diagonal: zl/(x-lb) + zu/(x-ub) (masked)."""
+    d = jnp.where(has_lb, zl / (x - lb), 0.0)
+    d = d + jnp.where(has_ub, zu / (x - ub), 0.0)
+    return d
+
+
+def barrier_auxiliary_measure(x, lb, ub, has_lb, has_ub, mu, damping):
+    """mu * (-sum log(x-lb) - sum log(ub-x) + damping*(distances of single-
+    bounded vars)); the IPM auxiliary progress measure."""
+    single_lb = has_lb & ~has_ub
+    single_ub = has_ub & ~has_lb
+    terms = -jnp.where(has_lb, jnp.log(jnp.maximum(x - lb, 1e-300)), 0.0)
+    terms = terms - jnp.where(has_ub, jnp.log(jnp.maximum(ub - x, 1e-300)), 0.0)
+    terms = terms + jnp.where(single_lb, damping * (x - lb), 0.0)
+    terms = terms + jnp.where(single_ub, damping * (ub - x), 0.0)
+    return mu * jnp.sum(terms)
+
+
+def barrier_directional_derivative(x, d, lb, ub, has_lb, has_ub, mu, damping):
+    """Directional derivative of the barrier terms along primal direction d."""
+    single_lb = has_lb & ~has_ub
+    single_ub = has_ub & ~has_lb
+    dd = jnp.where(has_lb, -mu / (x - lb) * d, 0.0)
+    dd = dd + jnp.where(has_ub, -mu / (x - ub) * d, 0.0)
+    dd = dd + jnp.where(single_lb, damping * mu * d, 0.0)
+    dd = dd - jnp.where(single_ub, damping * mu * d, 0.0)
+    return jnp.sum(dd)
+
+
+def bound_dual_direction(x, dx, zl, zu, lb, ub, has_lb, has_ub, mu):
+    """dz = (mu - dx*z)/(x-bound) - z on the active bound sets."""
+    dzl = jnp.where(has_lb, (mu - dx * zl) / (x - lb) - zl, 0.0)
+    dzu = jnp.where(has_ub, (mu - dx * zu) / (x - ub) - zu, 0.0)
+    return dzl, dzu
+
+
+def primal_fraction_to_boundary(x, dx, lb, ub, has_lb, has_ub, tau):
+    """max alpha in (0,1] with x + alpha*dx keeping tau-fraction interiority."""
+    dist_lb = jnp.where(has_lb & (dx < 0), -tau * (x - lb) / jnp.where(dx < 0, dx, -1.0), jnp.inf)
+    dist_ub = jnp.where(has_ub & (dx > 0), -tau * (x - ub) / jnp.where(dx > 0, dx, 1.0), jnp.inf)
+    dist = jnp.minimum(jnp.where(dist_lb > 0, dist_lb, jnp.inf),
+                       jnp.where(dist_ub > 0, dist_ub, jnp.inf))
+    return jnp.minimum(1.0, jnp.min(dist, initial=jnp.inf))
+
+
+def dual_fraction_to_boundary(zl, zu, dzl, dzu, has_lb, has_ub, tau):
+    """max alpha keeping zl > 0 (lower) and zu < 0 (upper) tau-fractionally."""
+    dist_l = jnp.where(has_lb & (dzl < 0), -tau * zl / jnp.where(dzl < 0, dzl, -1.0), jnp.inf)
+    dist_u = jnp.where(has_ub & (dzu > 0), -tau * zu / jnp.where(dzu > 0, dzu, 1.0), jnp.inf)
+    dist = jnp.minimum(jnp.where(dist_l > 0, dist_l, jnp.inf),
+                       jnp.where(dist_u > 0, dist_u, jnp.inf))
+    return jnp.minimum(1.0, jnp.min(dist, initial=jnp.inf))
+
+
+def k_sigma_rescale(x, zl, zu, lb, ub, has_lb, has_ub, mu, k_sigma):
+    """Project bound duals into [mu/(k_sigma*(x-b)), k_sigma*mu/(x-b)]
+    (IPOPT Eq. 16)."""
+    coef_l = mu / (x - lb)
+    zl_new = jnp.where(has_lb & jnp.isfinite(coef_l),
+                       jnp.clip(zl, coef_l / k_sigma, coef_l * k_sigma), zl)
+    coef_u = mu / (x - ub)  # negative
+    zu_new = jnp.where(has_ub & jnp.isfinite(coef_u),
+                       jnp.clip(zu, coef_u * k_sigma, coef_u / k_sigma), zu)
+    return zl_new, zu_new
+
+
+def centrality_error(x, zl, zu, lb, ub, has_lb, has_ub, mu):
+    """inf-norm of the mu-shifted bound complementarity
+    max(|zl*(x-lb)-mu|, |zu*(x-ub)-mu|) over active multipliers."""
+    e_l = jnp.where(has_lb & (zl > 0), jnp.abs(zl * (x - lb) - mu), 0.0)
+    e_u = jnp.where(has_ub & (zu < 0), jnp.abs(zu * (x - ub) - mu), 0.0)
+    e = jnp.maximum(e_l, e_u)
+    return jnp.max(e, initial=0.0)
+
+
+def bound_complementarity_error(x, zl, zu, lb, ub, has_lb, has_ub):
+    """Unshifted bound complementarity per variable (termination residual):
+    zl*(x-lb) where zl>0, zu*(x-ub) where zu<0
+    (reference OptimizationProblem::complementarity_error)."""
+    e = jnp.where(has_lb & (zl > 0), zl * (x - lb), 0.0)
+    e = jnp.where(has_ub & (zu < 0), zu * (x - ub), e)
+    return e

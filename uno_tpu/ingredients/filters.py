@@ -1,0 +1,199 @@
+"""Globalization strategies as pure functions over fixed-shape state.
+
+The reference's Filter (/root/reference/uno/ingredients/globalization_strategies/
+switching_methods/filter_methods/filters/Filter.cpp) is a capacity-bounded
+sorted Pareto front of (infeasibility h, objective phi) pairs with margins
+beta/gamma.  Here it is a pair of fixed-size arrays (+inf padding) sorted by
+h ascending — all operations are vectorized, jit/vmap-compatible.
+
+Acceptance logic:
+  * Fletcher filter method   <- FletcherFilterMethod.cpp:15-66
+  * Waechter filter method   <- WaechterFilterMethod.cpp:25-90
+  * switching/armijo helpers <- SwitchingMethod.cpp, GlobalizationStrategy.cpp
+  * l1 merit                 <- l1MeritFunction.cpp
+  * funnel                   <- FunnelMethod.cpp / Funnel.cpp
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+BIG = jnp.inf
+
+
+class FilterState(NamedTuple):
+    h: jnp.ndarray    # (capacity,) infeasibility, +inf for empty slots, sorted
+    phi: jnp.ndarray  # (capacity,) objective measure (+inf for empty slots)
+    ub: jnp.ndarray   # scalar infeasibility upper bound
+
+
+def filter_init(capacity: int, dtype=jnp.float64) -> FilterState:
+    return FilterState(
+        h=jnp.full((capacity,), BIG, dtype=dtype),
+        phi=jnp.full((capacity,), BIG, dtype=dtype),
+        ub=jnp.asarray(BIG, dtype=dtype),
+    )
+
+
+def filter_reset(f: FilterState) -> FilterState:
+    """Clear entries, keep the upper bound (reference Filter::reset)."""
+    return FilterState(jnp.full_like(f.h, BIG), jnp.full_like(f.phi, BIG), f.ub)
+
+
+def filter_set_ub(f: FilterState, ub) -> FilterState:
+    return f._replace(ub=jnp.asarray(ub, dtype=f.h.dtype))
+
+
+def filter_acceptable(f: FilterState, h_t, phi_t, beta, gamma):
+    """Acceptability wrt the filter (Filter::acceptable):
+    h_t < beta*ub, and either dominates-in-h the whole front (position 0) or
+    phi_t <= phi[position-1] - gamma*h_t, where position is the first entry
+    with sufficient h-reduction (entries sorted by h ascending)."""
+    ub_ok = h_t < beta * f.ub
+    suff = h_t < beta * f.h            # suffix of True (h sorted ascending)
+    position = jnp.sum(~suff)          # empty slots have h=+inf -> True
+    phi_prev = f.phi[jnp.maximum(position - 1, 0)]
+    dominated_ok = (position == 0) | (phi_t <= phi_prev - gamma * h_t)
+    return ub_ok & dominated_ok
+
+
+def filter_acceptable_wrt(h_c, phi_c, h_t, phi_t, beta, gamma):
+    """Acceptability wrt a single (current) point
+    (Filter::acceptable_wrt_current_iterate)."""
+    return (h_t < beta * h_c) | (phi_t <= phi_c - gamma * h_t)
+
+
+def filter_add(f: FilterState, h_c, phi_c, beta) -> FilterState:
+    """Add (h_c, phi_c): drop dominated entries (h_i >= h_c and phi_i >= phi_c),
+    make room if full (shrink ub to beta*max(ub, largest h), drop last),
+    insert keeping h-ascending order (Filter::add)."""
+    cap = f.h.shape[0]
+    keep = (f.h < h_c) | (f.phi < phi_c)
+    h = jnp.where(keep, f.h, BIG)
+    phi = jnp.where(keep, f.phi, BIG)
+    n = jnp.sum(h < BIG)
+
+    # if full after removal: shrink upper bound and drop the largest-h entry
+    full = n >= cap
+    order = jnp.argsort(h)
+    h = h[order]
+    phi = phi[order]
+    largest = jnp.where(full, jnp.maximum(f.ub, h[cap - 1]), -BIG)
+    ub = jnp.where(full, beta * largest, f.ub)
+    h = jnp.where(full, h.at[cap - 1].set(BIG), h)
+    phi = jnp.where(full, phi.at[cap - 1].set(BIG), phi)
+
+    # insert the new entry in the (now guaranteed) free last slot, re-sort
+    h = h.at[cap - 1].set(h_c)
+    phi = phi.at[cap - 1].set(phi_c)
+    order = jnp.argsort(h)
+    return FilterState(h[order], phi[order], ub)
+
+
+def armijo_sufficient_decrease(predicted, actual, fraction, tolerance):
+    """actual >= fraction * max(0, predicted - tolerance)
+    (GlobalizationStrategy::armijo_sufficient_decrease)."""
+    return actual >= fraction * jnp.maximum(0.0, predicted - tolerance)
+
+
+def switching_condition(predicted, h_current, delta, exponent):
+    """predicted > delta * h^exponent (SwitchingMethod::switching_condition)."""
+    return predicted > delta * jnp.power(h_current, exponent)
+
+
+class WaechterDecision(NamedTuple):
+    accept: jnp.ndarray
+    new_filter: FilterState
+
+
+def waechter_is_acceptable(
+    f: FilterState,
+    h_cur, merit_cur,          # current (infeasibility, phi(1)+aux)
+    h_tri, merit_tri,          # trial
+    merit_pred,                # unconstrained predicted reduction
+    h_initial,                 # infeasibility at the initial iterate
+    opts,
+    roundoff_protect_scale,
+) -> WaechterDecision:
+    """WaechterFilterMethod::is_regular_iterate_acceptable (.cpp:25-90)."""
+    merit_actual = merit_cur - merit_tri + roundoff_protect_scale
+    filter_ok = filter_acceptable(f, h_tri, merit_tri, opts.filter_beta, opts.filter_gamma)
+    small_inf = h_cur <= 1e-4 * jnp.maximum(1.0, h_initial)
+    switching = (merit_pred > 0.0) & switching_condition(
+        merit_pred, h_cur, opts.switching_delta, opts.switching_infeasibility_exponent)
+    sufficient = armijo_sufficient_decrease(
+        merit_pred, merit_actual, opts.armijo_decrease_fraction, opts.armijo_tolerance)
+
+    f_type = small_inf & switching
+    accept_f = f_type & sufficient
+    accept_h = (~f_type) & filter_acceptable_wrt(
+        h_cur, merit_cur, h_tri, merit_tri, opts.filter_beta, opts.filter_gamma)
+    accept = filter_ok & (accept_f | accept_h)
+
+    # augment the filter when accepting without (switching and armijo)
+    augment = accept & (~switching | ~sufficient)
+    new_filter = filter_add(f, h_cur, merit_cur, opts.filter_beta)
+    new_filter = FilterState(
+        jnp.where(augment, new_filter.h, f.h),
+        jnp.where(augment, new_filter.phi, f.phi),
+        jnp.where(augment, new_filter.ub, f.ub),
+    )
+    return WaechterDecision(accept, new_filter)
+
+
+def fletcher_is_acceptable(
+    f: FilterState,
+    h_cur, merit_cur,
+    h_tri, merit_tri,
+    merit_pred,
+    opts,
+    roundoff_protect_scale,
+) -> WaechterDecision:
+    """FletcherFilterMethod::is_regular_iterate_acceptable (.cpp:15-66):
+    acceptable to filter AND wrt current iterate; f-type needs switching +
+    Armijo; h-type adds the current point to the filter."""
+    merit_actual = merit_cur - merit_tri + roundoff_protect_scale
+    acceptable_pair = filter_acceptable(
+        f, h_tri, merit_tri, opts.filter_beta, opts.filter_gamma
+    ) & filter_acceptable_wrt(h_cur, merit_cur, h_tri, merit_tri,
+                              opts.filter_beta, opts.filter_gamma)
+    switching = (merit_pred > 0.0) & switching_condition(
+        merit_pred, h_cur, opts.switching_delta, opts.switching_infeasibility_exponent)
+    sufficient = armijo_sufficient_decrease(
+        merit_pred, merit_actual, opts.armijo_decrease_fraction, opts.armijo_tolerance)
+    accept = acceptable_pair & jnp.where(switching, sufficient, True)
+    # h-type (no switching): add current point to filter
+    augment = accept & ~switching
+    new_filter = filter_add(f, h_cur, merit_cur, opts.filter_beta)
+    new_filter = FilterState(
+        jnp.where(augment, new_filter.h, f.h),
+        jnp.where(augment, new_filter.phi, f.phi),
+        jnp.where(augment, new_filter.ub, f.ub),
+    )
+    return WaechterDecision(accept, new_filter)
+
+
+def feasibility_armijo_acceptable(h_cur, aux_cur, h_tri, aux_tri,
+                                  pred_h, pred_aux, opts):
+    """Feasibility-phase (objective multiplier 0) acceptance: Armijo on
+    infeasibility + auxiliary (SwitchingMethod::is_feasibility_iterate_acceptable)."""
+    predicted = pred_h + pred_aux
+    actual = (h_cur + aux_cur) - (h_tri + aux_tri)
+    return armijo_sufficient_decrease(predicted, actual,
+                                      opts.armijo_decrease_fraction,
+                                      opts.armijo_tolerance)
+
+
+def l1_merit_acceptable(h_cur, obj_cur, aux_cur, h_tri, obj_tri, aux_tri,
+                        pred_h, pred_obj, pred_aux, opts, roundoff_protect_scale):
+    """l1MeritFunction::is_iterate_acceptable: Armijo on
+    objective(rho) + auxiliary + infeasibility."""
+    predicted = pred_obj + pred_aux + pred_h
+    cur = obj_cur + aux_cur + h_cur
+    tri = obj_tri + aux_tri + h_tri
+    actual = cur - tri + roundoff_protect_scale
+    return armijo_sufficient_decrease(predicted, actual,
+                                      opts.armijo_decrease_fraction,
+                                      opts.armijo_tolerance)

@@ -40,7 +40,13 @@ class LDLT(NamedTuple):
 
 
 def _pivot_threshold(d, zero_pivot_rtol):
-    """|pivot| below rtol * max|d| counts as zero (singular)."""
+    """|pivot| below rtol * max|d| counts as zero (singular).
+
+    NOTE: legitimate pivot magnitudes of a barrier KKT matrix span ~18 orders
+    of magnitude within one matrix (primal barrier entries ~ mu/slack^2 vs
+    Schur-complement dual pivots ~ slack^2/mu), so the default rtol must only
+    catch essentially-exact zeros; the inertia-correction loop upstream
+    handles near-singularity via regularization instead."""
     scale = jnp.maximum(jnp.max(jnp.abs(d)), 1.0)
     return zero_pivot_rtol * scale
 
@@ -59,7 +65,7 @@ def _inertia(d, zero_pivot_rtol):
 
 
 @partial(jax.jit, static_argnames=("zero_pivot_rtol",))
-def ldlt_factor(A: jnp.ndarray, zero_pivot_rtol: float = 1e-12) -> LDLT:
+def ldlt_factor(A: jnp.ndarray, zero_pivot_rtol: float = 1e-32) -> LDLT:
     """Unpivoted LDL^T by sequential rank-1 updates (O(n) fused steps)."""
     n = A.shape[-1]
     row_idx = lax.broadcasted_iota(jnp.int32, (n,), 0)
@@ -83,7 +89,7 @@ def ldlt_factor(A: jnp.ndarray, zero_pivot_rtol: float = 1e-12) -> LDLT:
 
 @partial(jax.jit, static_argnames=("block", "zero_pivot_rtol"))
 def ldlt_factor_blocked(A: jnp.ndarray, block: int = 32,
-                        zero_pivot_rtol: float = 1e-12) -> LDLT:
+                        zero_pivot_rtol: float = 1e-32) -> LDLT:
     """Blocked right-looking LDL^T: sequential panel factorization (width
     `block`) followed by one (n,b)x(b,n) MXU matmul trailing update per panel.
 

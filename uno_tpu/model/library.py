@@ -18,9 +18,9 @@ from uno_tpu.model.nlp import NLP, nlp_from_functions, INF
 _REGISTRY: dict = {}
 
 
-def register(name, f_star=None):
+def register(name, f_star=None, local_optima=()):
     def deco(builder):
-        _REGISTRY[name] = (builder, f_star)
+        _REGISTRY[name] = (builder, f_star, tuple(local_optima))
         return builder
     return deco
 
@@ -31,6 +31,14 @@ def get_problem(name: str) -> NLP:
 
 def known_optimum(name: str):
     return _REGISTRY[name][1]
+
+
+def acceptable_optima(name: str):
+    """Global optimum plus known alternate local optima (nonconvex problems
+    may legitimately converge to any first-order point)."""
+    _, f_star, locals_ = _REGISTRY[name]
+    out = [] if f_star is None else [f_star]
+    return out + list(locals_)
 
 
 def problem_names():
@@ -136,7 +144,7 @@ def hs014():
                               c_lb=[-1.0, 0.0], c_ub=[-1.0, INF])
 
 
-@register("hs016", f_star=0.25)
+@register("hs016", f_star=0.25, local_optima=(3.9820604541,))
 def hs016():
     def f(x):
         return 100.0 * (x[1] - x[0] ** 2) ** 2 + (1.0 - x[0]) ** 2

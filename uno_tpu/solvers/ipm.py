@@ -1,0 +1,763 @@
+"""Primal-dual interior-point solver — the `ipopt` preset path, fully jitted.
+
+Functional re-design (NOT a port) of the reference call stack (SURVEY.md §3.1):
+  Uno::solve outer loop                      (uno/Uno.cpp:61-78)
+  BacktrackingLineSearch                     (BacktrackingLineSearch.cpp:51-113)
+  FeasibilityRestoration phases              (FeasibilityRestoration.cpp:78-207)
+  PrimalDualInteriorPointMethod/Problem      (PrimalDualInteriorPoint*.cpp)
+  BarrierParameterUpdateStrategy             (BarrierParameterUpdateStrategy.cpp:33-63)
+  PrimalDualRegularization loop              (PrimalDualRegularization.hpp:133-226)
+  WaechterFilterMethod acceptance            (WaechterFilterMethod.cpp:25-90)
+  termination tests with residual scaling    (ConstraintRelaxationStrategy.cpp:128-258)
+
+TPU-first architecture decisions:
+  * One `lax.while_loop` drives the outer iteration over a single state
+    pytree; exceptions of the reference (UnstableRegularization, eval errors,
+    "LS failed") are status flags in the state.
+  * ONE static KKT shape for both phases: the feasibility-restoration l1
+    elastics (p, q >= 0 with barrier) are condensed out of the augmented
+    system analytically, contributing a diagonal -D_e = -(P/Zp + Q/Zq) to the
+    dual block.  The reference instead re-allocates a larger problem
+    (l1RelaxedProblem, +2m variables); condensation keeps XLA shapes static
+    and the factorization cost identical in both phases.
+  * The entire solver is vmap-able over batched instances (same structure,
+    different params/x0) — the TPU scale axis (SURVEY.md §2.15).
+
+Deviations from the reference control flow (documented):
+  * Phase switches take effect at the next outer iteration (the reference
+    re-solves the new phase's subproblem within the same iteration); this
+    costs at most one extra cheap iteration per switch.
+  * The l1 elastic initialization uses the reference's actual behavior
+    (constraint value treated as 0, PrimalDualInteriorPointMethod.cpp:214),
+    i.e. p = q = mu/rho.
+  * On a line-search failure the small-step termination test runs at the
+    current iterate rather than the last rejected trial.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from uno_tpu.ingredients import barrier as bar
+from uno_tpu.ingredients import filters as flt
+from uno_tpu.ingredients.regularization import regularize_and_factor
+from uno_tpu.linalg.ldlt import ldlt_factor_blocked, ldlt_solve
+from uno_tpu.model.nlp import NLP, vector_norm
+from uno_tpu.model import transforms
+from uno_tpu.options import Options
+
+# status codes
+RUNNING = 0
+OPTIMAL = 1            # FEASIBLE_KKT_POINT at tight tolerance
+ALMOST_OPTIMAL = 2     # FEASIBLE_KKT_POINT at loose tolerance (15 consecutive)
+INFEASIBLE_STATIONARY = 3
+UNBOUNDED = 4
+ALGORITHMIC_ERROR = 5  # unstable regularization / LS failed
+MAX_ITERATIONS = 6
+
+STATUS_NAMES = {
+    RUNNING: "running",
+    OPTIMAL: "optimal",
+    ALMOST_OPTIMAL: "almost_optimal",
+    INFEASIBLE_STATIONARY: "infeasible_stationary_point",
+    UNBOUNDED: "unbounded",
+    ALGORITHMIC_ERROR: "algorithmic_error",
+    MAX_ITERATIONS: "iteration_limit",
+}
+
+LARGE_BOUND = 1e40
+
+
+class IPMState(NamedTuple):
+    # primal-dual iterate (n includes slacks from homogenization)
+    x: jnp.ndarray
+    y: jnp.ndarray       # optimality constraint multipliers (m,)
+    zl: jnp.ndarray      # optimality bound duals (n,)
+    zu: jnp.ndarray
+    # feasibility-phase multipliers
+    y_f: jnp.ndarray
+    zl_f: jnp.ndarray
+    zu_f: jnp.ndarray
+    # l1 elastics (restoration phase), strictly positive placeholders in OPT
+    p: jnp.ndarray       # (m,)
+    q: jnp.ndarray
+    zp: jnp.ndarray
+    zq: jnp.ndarray
+    # barrier
+    mu: jnp.ndarray
+    mu_backup: jnp.ndarray
+    prev_delta: jnp.ndarray
+    # phase machine
+    phase: jnp.ndarray           # 0 = optimality, 1 = feasibility restoration
+    skip_mu_update: jnp.ndarray  # bool: first iteration after entering FEAS
+    subproblem_changed: jnp.ndarray
+    # globalization
+    filter: flt.FilterState
+    x_ref: jnp.ndarray           # proximal center (restoration)
+    h_ref: jnp.ndarray           # reference infeasibility at phase switch
+    h_initial: jnp.ndarray
+    # progress measures of the current iterate
+    h_cur: jnp.ndarray
+    f_cur: jnp.ndarray
+    aux_cur: jnp.ndarray
+    # residuals of the current iterate
+    stat: jnp.ndarray
+    stat_scaling: jnp.ndarray
+    compl: jnp.ndarray
+    compl_scaling: jnp.ndarray
+    primal_feas: jnp.ndarray
+    feas_stat: jnp.ndarray
+    feas_stat_scaling: jnp.ndarray
+    feas_compl: jnp.ndarray
+    feas_compl_scaling: jnp.ndarray
+    # bookkeeping
+    loose_count: jnp.ndarray
+    iteration: jnp.ndarray
+    status: jnp.ndarray
+    step_norm: jnp.ndarray
+    num_subproblems: jnp.ndarray
+    num_factorizations: jnp.ndarray
+    num_obj_evals: jnp.ndarray
+    num_con_evals: jnp.ndarray
+
+
+@dataclass(frozen=True)
+class IPMWorkspace:
+    """Static (compile-time) problem data for the reformulated NLP."""
+    n: int
+    m: int
+    lb: np.ndarray
+    ub: np.ndarray
+    has_lb: np.ndarray
+    has_ub: np.ndarray
+    n_bounded: int       # |lb set| + |ub set|  (residual scalings)
+    constrained: bool
+
+
+def _build_workspace(prob: NLP) -> IPMWorkspace:
+    has_lb, has_ub = prob.has_x_lb, prob.has_x_ub
+    lb = np.where(has_lb, prob.x_lb, -LARGE_BOUND)
+    ub = np.where(has_ub, prob.x_ub, LARGE_BOUND)
+    return IPMWorkspace(
+        n=prob.n, m=prob.m, lb=lb, ub=ub,
+        has_lb=has_lb, has_ub=has_ub,
+        n_bounded=int(has_lb.sum() + has_ub.sum()),
+        constrained=prob.m > 0,
+    )
+
+
+# --------------------------------------------------------------------------
+# residuals & termination  (ConstraintRelaxationStrategy.cpp:128-258)
+# --------------------------------------------------------------------------
+
+def _residuals(prob: NLP, ws: IPMWorkspace, opts: Options, x, y, zl, zu,
+               y_f, zl_f, zu_f, p, q, zp, zq, sigma, nu):
+    g = prob.objective_gradient(x)
+    c = prob.constraints(x)
+    J = prob.constraint_jacobian(x)
+    lbj, ubj = jnp.asarray(ws.lb), jnp.asarray(ws.ub)
+    hlb, hub = jnp.asarray(ws.has_lb), jnp.asarray(ws.has_ub)
+    rn = opts.residual_norm
+
+    # optimality stationarity: sigma*grad f - J^T y - zl - zu
+    cons_contrib = -(J.T @ y if ws.m else jnp.zeros_like(x)) - zl - zu
+    stat = vector_norm(sigma * g + cons_contrib, rn)
+    # primal feasibility (homogenized model: all equalities at 0)
+    primal_feas = prob.constraint_violation(c, rn)
+    # complementarity (bounds only; no inequality constraints remain)
+    compl_vec = bar.bound_complementarity_error(x, zl, zu, lbj, ubj, hlb, hub)
+    compl = vector_norm(compl_vec, rn)
+
+    # scalings (residual_scaling_threshold = 100)
+    thr = opts.residual_scaling_threshold
+
+    def stat_scaling_of(yv, zlv, zuv):
+        total = ws.n_bounded + ws.m
+        if total == 0:
+            return jnp.asarray(1.0)
+        norm1 = jnp.sum(jnp.abs(yv)) + jnp.sum(jnp.abs(zlv)) + jnp.sum(jnp.abs(zuv))
+        return jnp.maximum(1.0, norm1 / (thr * total))
+
+    def compl_scaling_of(zlv, zuv):
+        if ws.n_bounded == 0:
+            return jnp.asarray(1.0)
+        norm1 = jnp.sum(jnp.abs(zlv)) + jnp.sum(jnp.abs(zuv))
+        return jnp.maximum(1.0, norm1 / (thr * ws.n_bounded))
+
+    stat_scaling = stat_scaling_of(y, zl, zu)
+    compl_scaling = compl_scaling_of(zl, zu)
+
+    # feasibility problem (l1 relaxed, rho=0, no proximal) residuals
+    feas_x = -(J.T @ y_f if ws.m else jnp.zeros_like(x)) - zl_f - zu_f
+    if ws.m:
+        feas_p = nu - y_f - zp
+        feas_q = nu + y_f - zq
+        feas_stat = vector_norm(jnp.concatenate([feas_x, feas_p, feas_q]), rn)
+        el_compl = jnp.concatenate([
+            jnp.where(zp > 0, zp * p, 0.0), jnp.where(zq > 0, zq * q, 0.0)])
+    else:
+        feas_stat = vector_norm(feas_x, rn)
+        el_compl = jnp.zeros((0,), dtype=x.dtype)
+    feas_compl_vec = bar.bound_complementarity_error(x, zl_f, zu_f, lbj, ubj, hlb, hub)
+    feas_compl = vector_norm(jnp.concatenate([feas_compl_vec, el_compl]), rn)
+    feas_stat_scaling = stat_scaling_of(y_f, zl_f, zu_f)
+    feas_compl_scaling = compl_scaling_of(zl_f, zu_f)
+
+    return dict(stat=stat, stat_scaling=stat_scaling, compl=compl,
+                compl_scaling=compl_scaling, primal_feas=primal_feas,
+                feas_stat=feas_stat, feas_stat_scaling=feas_stat_scaling,
+                feas_compl=feas_compl, feas_compl_scaling=feas_compl_scaling)
+
+
+def _first_order_status(ws, opts, res, sigma, y_f, zl_f, zu_f, tol):
+    """IterateStatus per tolerance (check_first_order_convergence :230-258)."""
+    stationarity = res["stat"] / res["stat_scaling"] <= tol
+    primal_feas_ok = res["primal_feas"] <= tol
+    compl_ok = res["compl"] / res["compl_scaling"] <= tol
+    kkt = stationarity & primal_feas_ok & (sigma > 0) & compl_ok
+
+    feas_stat_ok = res["feas_stat"] <= tol
+    feas_compl_ok = res["feas_compl"] <= tol
+    nontrivial = (jnp.max(jnp.abs(y_f), initial=0.0) > tol) | \
+                 (jnp.max(jnp.abs(zl_f + zu_f), initial=0.0) > tol)
+    infeas_stat = ws.constrained & feas_stat_ok & ~primal_feas_ok & \
+        feas_compl_ok & nontrivial
+    return kkt, infeas_stat
+
+
+# --------------------------------------------------------------------------
+# barrier parameter update  (BarrierParameterUpdateStrategy.cpp:33-63)
+# --------------------------------------------------------------------------
+
+def _update_barrier_parameter(ws, opts, mu, x, zl, zu, p, q, zp, zq, is_feas,
+                              sigma, stat, stat_scaling, compl, compl_scaling,
+                              primal_feas):
+    lbj, ubj = jnp.asarray(ws.lb), jnp.asarray(ws.ub)
+    hlb, hub = jnp.asarray(ws.has_lb), jnp.asarray(ws.has_ub)
+    scaled_stat = stat / stat_scaling
+    pf = jnp.where(sigma == 0.0, 0.0, primal_feas)
+    error0 = jnp.maximum(jnp.maximum(scaled_stat, pf), compl / compl_scaling)
+    tol_fraction = opts.tolerance / opts.barrier_update_fraction
+
+    def centrality(mu_n):
+        e = bar.centrality_error(x, zl, zu, lbj, ubj, hlb, hub, mu_n)
+        if ws.m:
+            # elastic complementarity enters in the feasibility phase
+            e_p = jnp.max(jnp.where(zp > 0, jnp.abs(zp * p - mu_n), 0.0), initial=0.0)
+            e_q = jnp.max(jnp.where(zq > 0, jnp.abs(zq * q - mu_n), 0.0), initial=0.0)
+            e = jnp.where(is_feas, jnp.maximum(e, jnp.maximum(e_p, e_q)), e)
+        return e
+
+    def cond(carry):
+        mu_c, err, _ = carry
+        return (err <= opts.barrier_k_epsilon * mu_c) & (tol_fraction < mu_c)
+
+    def body(carry):
+        mu_c, _, _ = carry
+        mu_n = jnp.maximum(tol_fraction,
+                           jnp.minimum(opts.barrier_k_mu * mu_c,
+                                       jnp.power(mu_c, opts.barrier_theta_mu)))
+        cent = centrality(mu_n) / compl_scaling
+        err_n = jnp.maximum(jnp.maximum(scaled_stat, pf), cent)
+        return mu_n, err_n, jnp.asarray(True)
+
+    mu_new, _, changed = lax.while_loop(cond, body, (mu, error0, jnp.asarray(False)))
+    return mu_new, changed
+
+
+# --------------------------------------------------------------------------
+# the solver step
+# --------------------------------------------------------------------------
+
+def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
+    """Builds the jittable single-outer-iteration function state -> state."""
+    n, m = ws.n, ws.m
+    nu = opts.l1_constraint_violation_coefficient
+    lbj, ubj = jnp.asarray(ws.lb), jnp.asarray(ws.ub)
+    hlb, hub = jnp.asarray(ws.has_lb), jnp.asarray(ws.has_ub)
+    damping = opts.barrier_damping_factor
+    eps_machine = float(np.finfo(np.float64).eps)
+
+    def prox_scaling(x_ref):
+        s = jnp.minimum(1.0, 1.0 / jnp.maximum(jnp.abs(x_ref), 1e-300))
+        return s * s
+
+    def aux_measure(x, p, q, mu, is_feas):
+        a = bar.barrier_auxiliary_measure(x, lbj, ubj, hlb, hub, mu, damping)
+        if m:
+            # elastics are single-lower-bounded at 0
+            ael = mu * jnp.sum(-jnp.log(jnp.maximum(p, 1e-300))
+                               - jnp.log(jnp.maximum(q, 1e-300))
+                               + damping * (p + q))
+            a = a + jnp.where(is_feas, ael, 0.0)
+        return a
+
+    def progress(x, p, q, mu, is_feas):
+        f_val = prob.objective(x)
+        c = prob.constraints(x)
+        h = prob.constraint_violation(c, opts.progress_norm)
+        aux = aux_measure(x, p, q, mu, is_feas)
+        return h, f_val, aux
+
+    def step(s: IPMState) -> IPMState:
+        is_feas = s.phase == 1
+        sigma = jnp.where(is_feas, 0.0, 1.0)
+
+        # active multiplier set for the current phase
+        y_a = jnp.where(is_feas, s.y_f, s.y)
+        zl_a = jnp.where(is_feas, s.zl_f, s.zl)
+        zu_a = jnp.where(is_feas, s.zu_f, s.zu)
+
+        # -- barrier parameter update (uses current-iterate residuals) -------
+        stat_u = jnp.where(is_feas, s.feas_stat, s.stat)
+        stat_sc_u = jnp.where(is_feas, s.feas_stat_scaling, s.stat_scaling)
+        compl_u = jnp.where(is_feas, s.feas_compl, s.compl)
+        compl_sc_u = jnp.where(is_feas, s.feas_compl_scaling, s.compl_scaling)
+        mu_new, mu_changed = _update_barrier_parameter(
+            ws, opts, s.mu, s.x, zl_a, zu_a, s.p, s.q, s.zp, s.zq, is_feas,
+            sigma, stat_u, stat_sc_u, compl_u, compl_sc_u, s.primal_feas)
+        mu = jnp.where(s.skip_mu_update, s.mu, mu_new)
+        mu_changed = jnp.where(s.skip_mu_update, False, mu_changed)
+
+        # subproblem changed -> reset the filter (keep its upper bound)
+        changed = s.subproblem_changed | mu_changed
+        filt = flt.FilterState(
+            jnp.where(changed, jnp.full_like(s.filter.h, jnp.inf), s.filter.h),
+            jnp.where(changed, jnp.full_like(s.filter.phi, jnp.inf), s.filter.phi),
+            s.filter.ub,
+        )
+
+        # current-iterate progress under (possibly new) mu
+        h_cur, f_cur, aux_cur = progress(s.x, s.p, s.q, mu, is_feas)
+        # filter objective measure phi(1) + aux (SwitchingMethod::unconstrained_merit)
+        merit_cur = f_cur + aux_cur
+
+        # -- evaluate derivatives at current x ------------------------------
+        g = prob.objective_gradient(s.x)
+        c = prob.constraints(s.x)
+        J = prob.constraint_jacobian(s.x)
+        H_lag = prob.lagrangian_hessian(s.x, y_a, sigma)
+
+        # proximal term (feasibility phase only): sqrt(mu)*diag(scaling^2)
+        prox_coef = jnp.sqrt(mu)
+        prox_diag = jnp.where(is_feas, prox_coef * prox_scaling(s.x_ref), 0.0)
+        Sigma = bar.barrier_hessian_diag(s.x, zl_a, zu_a, lbj, ubj, hlb, hub)
+        H = H_lag + jnp.diag(prox_diag + Sigma)
+
+        # barrier + proximal gradient
+        g_bar = sigma * g \
+            + bar.barrier_gradient(s.x, lbj, ubj, hlb, hub, mu, damping) \
+            + jnp.where(is_feas, prox_coef * prox_scaling(s.x_ref) * (s.x - s.x_ref), 0.0)
+
+        # rhs x-part: -(grad_bar - J^T y)  (Subproblem::assemble_augmented_rhs)
+        rhs_x = -(g_bar - (J.T @ y_a if m else 0.0))
+
+        if m:
+            # condensed elastic terms (see module docstring)
+            r_p = nu + damping * mu - mu / s.p - y_a
+            r_q = nu + damping * mu - mu / s.q + y_a
+            inv_sp = s.p / s.zp
+            inv_sq = s.q / s.zq
+            D_e = jnp.where(is_feas, inv_sp + inv_sq, 0.0)
+            r_c = c + jnp.where(is_feas, s.p - s.q, 0.0)
+            rhs_c = -r_c + jnp.where(is_feas, inv_sp * r_p - inv_sq * r_q, 0.0)
+            rhs = jnp.concatenate([rhs_x, rhs_c])
+        else:
+            rhs = rhs_x
+
+        # -- assemble + inertia-corrected factorization ---------------------
+        def assemble(delta, eps):
+            Hd = H + delta * jnp.eye(n, dtype=H.dtype)
+            if m == 0:
+                return Hd
+            dual_block = -jnp.diag(D_e + eps)
+            return jnp.block([[Hd, J.T], [J, dual_block]])
+
+        dual_reg_param = jnp.power(mu, opts.barrier_regularization_exponent)
+        reg = regularize_and_factor(assemble, n, m, dual_reg_param,
+                                    s.prev_delta, opts, block=opts.ldlt_block_size)
+        sol = ldlt_solve(reg.fac, rhs)
+        dx = sol[:n]
+        w = sol[n:] if m else jnp.zeros((0,), dtype=sol.dtype)
+        dy = -w
+        kkt_failed = reg.failed  # unstable regularization -> restoration
+
+        # -- direction assembly + fraction-to-boundary ----------------------
+        dzl, dzu = bar.bound_dual_direction(s.x, dx, zl_a, zu_a, lbj, ubj, hlb, hub, mu)
+        if m:
+            dp = jnp.where(is_feas, inv_sp * (-r_p - w), 0.0)
+            dq = jnp.where(is_feas, inv_sq * (-r_q + w), 0.0)
+            dzp = jnp.where(is_feas, (mu - dp * s.zp) / s.p - s.zp, 0.0)
+            dzq = jnp.where(is_feas, (mu - dq * s.zq) / s.q - s.zq, 0.0)
+        else:
+            dp = dq = dzp = dzq = jnp.zeros((0,), dtype=dx.dtype)
+
+        tau = jnp.maximum(opts.barrier_tau_min, 1.0 - mu)
+        alpha_p = bar.primal_fraction_to_boundary(s.x, dx, lbj, ubj, hlb, hub, tau)
+        alpha_z = bar.dual_fraction_to_boundary(zl_a, zu_a, dzl, dzu, hlb, hub, tau)
+        if m:
+            # elastics: lower bound 0 on p, q; their duals zp, zq stay > 0
+            zero_m = jnp.zeros((m,), dtype=dx.dtype)
+            big_m = zero_m + LARGE_BOUND
+            tm = jnp.ones((m,), dtype=bool)
+            fm = jnp.zeros((m,), dtype=bool)
+            a_pp = bar.primal_fraction_to_boundary(s.p, dp, zero_m, big_m, tm, fm, tau)
+            a_pq = bar.primal_fraction_to_boundary(s.q, dq, zero_m, big_m, tm, fm, tau)
+            a_zp = bar.primal_fraction_to_boundary(s.zp, dzp, zero_m, big_m, tm, fm, tau)
+            a_zq = bar.primal_fraction_to_boundary(s.zq, dzq, zero_m, big_m, tm, fm, tau)
+            alpha_p = jnp.where(is_feas, jnp.minimum(alpha_p, jnp.minimum(a_pp, a_pq)), alpha_p)
+            alpha_z = jnp.where(is_feas, jnp.minimum(alpha_z, jnp.minimum(a_zp, a_zq)), alpha_z)
+
+        dx = dx * alpha_p
+        dy = dy * alpha_p
+        dzl, dzu = dzl * alpha_z, dzu * alpha_z
+        dp, dq = dp * alpha_p, dq * alpha_p
+        dzp, dzq = dzp * alpha_z, dzq * alpha_z
+        dir_norm = jnp.max(jnp.abs(dx), initial=0.0)
+
+        # -- backtracking line search ---------------------------------------
+        roundoff = jnp.where(opts.protect_actual_reduction_against_roundoff,
+                             10.0 * eps_machine * jnp.abs(merit_cur), 0.0)
+
+        def ls_trial(alpha):
+            dual_alpha = alpha if opts.LS_scale_duals_with_step_length else 1.0
+            x_t = jnp.clip(s.x + alpha * dx, lbj, ubj)
+            y_t = y_a + dual_alpha * dy
+            zl_t, zu_t = zl_a + dzl, zu_a + dzu
+            p_t = s.p + alpha * dp
+            q_t = s.q + alpha * dq
+            zp_t, zq_t = s.zp + dzp, s.zq + dzq
+            # postprocess: k_sigma rescale (PrimalDualInteriorPointProblem:348)
+            zl_t, zu_t = bar.k_sigma_rescale(x_t, zl_t, zu_t, lbj, ubj, hlb, hub,
+                                             mu, opts.barrier_k_sigma)
+            if m:
+                coef = mu / jnp.maximum(p_t, 1e-300)
+                zp_t = jnp.where(is_feas, jnp.clip(zp_t, coef / opts.barrier_k_sigma,
+                                                   coef * opts.barrier_k_sigma), zp_t)
+                coef = mu / jnp.maximum(q_t, 1e-300)
+                zq_t = jnp.where(is_feas, jnp.clip(zq_t, coef / opts.barrier_k_sigma,
+                                                   coef * opts.barrier_k_sigma), zq_t)
+            h_t, f_t, aux_t = progress(x_t, p_t, q_t, mu, is_feas)
+            finite = jnp.isfinite(f_t) & jnp.isfinite(h_t) & jnp.isfinite(aux_t)
+
+            # predicted reductions at step length alpha
+            c_lin = c + alpha * (J @ dx) if m else c
+            pred_h = h_cur - prob.constraint_violation(c_lin, opts.progress_norm)
+            pred_obj = alpha * (-(g @ dx))  # evaluated at multiplier 1
+            bdd = bar.barrier_directional_derivative(s.x, dx, lbj, ubj, hlb, hub, mu, damping)
+            if m:
+                el_dd = jnp.sum((-mu / s.p + damping * mu) * dp
+                                + (-mu / s.q + damping * mu) * dq)
+                bdd = bdd + jnp.where(is_feas, el_dd, 0.0)
+            pred_aux = alpha * (-bdd)
+
+            # acceptance
+            merit_t = f_t + aux_t
+            dec = flt.waechter_is_acceptable(
+                filt, h_cur, merit_cur, h_t, merit_t,
+                pred_obj + pred_aux, s.h_initial, opts, roundoff)
+            accept_feas = flt.feasibility_armijo_acceptable(
+                h_cur, aux_cur, h_t, aux_t, pred_h, pred_aux, opts)
+            accept = jnp.where(is_feas, accept_feas, dec.accept) & finite
+            accept = accept | (dir_norm == 0.0)
+            new_filter = flt.FilterState(
+                jnp.where(is_feas, filt.h, dec.new_filter.h),
+                jnp.where(is_feas, filt.phi, dec.new_filter.phi),
+                jnp.where(is_feas, filt.ub, dec.new_filter.ub),
+            )
+            trial = (x_t, y_t, zl_t, zu_t, p_t, q_t, zp_t, zq_t, h_t, f_t, aux_t)
+            return accept, trial, new_filter
+
+        def ls_cond(carry):
+            alpha, accepted, ls_failed, k, _, _ = carry
+            return ~accepted & ~ls_failed & (k < opts.max_line_search_iterations)
+
+        def ls_body(carry):
+            alpha, accepted, ls_failed, k, trial, f_state = carry
+            acc, tr, nf = ls_trial(alpha)
+            ls_failed = ~acc & (alpha < opts.LS_min_step_length)
+            alpha_next = jnp.where(acc | ls_failed, alpha,
+                                   alpha * opts.LS_backtracking_ratio)
+            trial = jax.tree_util.tree_map(lambda a, b: jnp.where(acc, b, a), trial, tr)
+            f_state = jax.tree_util.tree_map(lambda a, b: jnp.where(acc, b, a), f_state, nf)
+            return alpha_next, acc, ls_failed, k + 1, trial, f_state
+
+        trial0 = (s.x, y_a, zl_a, zu_a, s.p, s.q, s.zp, s.zq, h_cur, f_cur, aux_cur)
+        carry0 = (jnp.asarray(1.0), jnp.asarray(False), jnp.asarray(False),
+                  jnp.asarray(0), trial0, filt)
+        alpha, accepted, ls_failed, ls_iters, trial, filt = lax.while_loop(
+            ls_cond, ls_body, carry0)
+        # a failed KKT solve invalidates the direction entirely
+        accepted = accepted & ~kkt_failed
+        ls_failed = ls_failed | kkt_failed | \
+            ((~accepted) & ~kkt_failed & (ls_iters >= opts.max_line_search_iterations))
+
+        (x_t, yv_t, zl_t, zu_t, p_t, q_t, zp_t, zq_t, h_t, f_t, aux_t) = trial
+
+        # -- commit the trial iterate (or keep current on failure) ----------
+        x_n = jnp.where(accepted, x_t, s.x)
+        y_n = jnp.where(accepted & ~is_feas, yv_t, s.y)
+        zl_n = jnp.where(accepted & ~is_feas, zl_t, s.zl)
+        zu_n = jnp.where(accepted & ~is_feas, zu_t, s.zu)
+        y_f_n = jnp.where(accepted & is_feas, yv_t, s.y_f)
+        zl_f_n = jnp.where(accepted & is_feas, zl_t, s.zl_f)
+        zu_f_n = jnp.where(accepted & is_feas, zu_t, s.zu_f)
+        p_n = jnp.where(accepted, p_t, s.p)
+        q_n = jnp.where(accepted, q_t, s.q)
+        zp_n = jnp.where(accepted, zp_t, s.zp)
+        zq_n = jnp.where(accepted, zq_t, s.zq)
+        h_n = jnp.where(accepted, h_t, h_cur)
+        f_n = jnp.where(accepted, f_t, f_cur)
+        aux_n = jnp.where(accepted, aux_t, aux_cur)
+
+        # -- phase transitions ----------------------------------------------
+        # (a) restoration -> optimality (Waechter is_infeasibility_sufficiently_reduced)
+        merit_n = f_n + aux_n
+        back_ok = accepted & is_feas & \
+            (h_n <= opts.filter_sufficient_infeasibility_decrease_factor * s.h_ref) & \
+            flt.filter_acceptable(filt, h_n, merit_n, opts.filter_beta, opts.filter_gamma)
+        # (b) optimality -> restoration: LS failure or unstable KKT
+        to_feas = ls_failed & ~is_feas & ws.constrained
+        hard_fail = ls_failed & (is_feas | (not ws.constrained))
+
+        # apply (a): add current progress to the filter, restore mu
+        filt_a = flt.filter_add(filt, h_cur, merit_cur, opts.filter_beta)
+        filt = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(back_ok, b, a), filt, filt_a)
+        phase_n = jnp.where(back_ok, 0, s.phase)
+        mu_n = jnp.where(back_ok, s.mu_backup, mu)
+
+        # apply (b): enter restoration at the (unchanged) current iterate
+        mu_enter = jnp.maximum(mu, s.primal_feas)
+        phase_n = jnp.where(to_feas, 1, phase_n)
+        mu_backup_n = jnp.where(to_feas, mu, s.mu_backup)
+        mu_n = jnp.where(to_feas, mu_enter, mu_n)
+        x_ref_n = jnp.where(to_feas, x_n, s.x_ref)
+        h_ref_n = jnp.where(to_feas, h_n, s.h_ref)
+        if m:
+            # elastic init p = q = mu/rho, duals = rho (IPM .cpp:195-225)
+            p_init = jnp.full((m,), 1.0) * (mu_enter / nu)
+            p_n = jnp.where(to_feas, p_init, p_n)
+            q_n = jnp.where(to_feas, p_init, q_n)
+            zp_n = jnp.where(to_feas, jnp.full((m,), nu), zp_n)
+            zq_n = jnp.where(to_feas, jnp.full((m,), nu), zq_n)
+        zl_f_n = jnp.where(to_feas, jnp.where(hlb, opts.barrier_default_multiplier, 0.0), zl_f_n)
+        zu_f_n = jnp.where(to_feas, jnp.where(hub, -opts.barrier_default_multiplier, 0.0), zu_f_n)
+        filt_b = flt.filter_add(filt, h_cur, merit_cur, opts.filter_beta)
+        filt = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(to_feas, b, a), filt, filt_b)
+
+        changed_next = back_ok | to_feas
+        sigma_next = jnp.where(phase_n == 1, 0.0, 1.0)
+
+        # -- residuals at the new iterate, with the new phase's multiplier --
+        res = _residuals(prob, ws, opts, x_n, y_n, zl_n, zu_n,
+                         y_f_n, zl_f_n, zu_f_n, p_n, q_n, zp_n, zq_n,
+                         sigma_next, nu)
+
+        # -- termination -----------------------------------------------------
+        kkt_tight, infeas_tight = _first_order_status(
+            ws, opts, res, sigma_next, y_f_n, zl_f_n, zu_f_n, opts.tolerance)
+        kkt_loose, infeas_loose = _first_order_status(
+            ws, opts, res, sigma_next, y_f_n, zl_f_n, zu_f_n, opts.loose_tolerance)
+
+        status = jnp.asarray(RUNNING)
+        unbounded = f_n < opts.unbounded_objective_threshold
+        loose_any = (kkt_loose | infeas_loose) & (opts.loose_tolerance > opts.tolerance)
+        loose_count = jnp.where(loose_any, s.loose_count + 1, 0)
+        loose_hit = loose_count >= opts.loose_tolerance_consecutive_iteration_threshold
+
+        status = jnp.where(loose_hit & kkt_loose, ALMOST_OPTIMAL, status)
+        status = jnp.where(loose_hit & infeas_loose & ~kkt_loose, INFEASIBLE_STATIONARY, status)
+        status = jnp.where(infeas_tight, INFEASIBLE_STATIONARY, status)
+        status = jnp.where(kkt_tight, OPTIMAL, status)
+        status = jnp.where(unbounded, UNBOUNDED, status)
+        status = jnp.where(hard_fail, ALGORITHMIC_ERROR, status)
+        iteration = s.iteration + 1
+        status = jnp.where((status == RUNNING) & (iteration >= opts.max_iterations),
+                           MAX_ITERATIONS, status)
+
+        return IPMState(
+            x=x_n, y=y_n, zl=zl_n, zu=zu_n,
+            y_f=y_f_n, zl_f=zl_f_n, zu_f=zu_f_n,
+            p=p_n, q=q_n, zp=zp_n, zq=zq_n,
+            mu=mu_n, mu_backup=mu_backup_n, prev_delta=reg.prev_delta,
+            phase=phase_n,
+            skip_mu_update=to_feas,
+            subproblem_changed=changed_next,
+            filter=filt, x_ref=x_ref_n, h_ref=h_ref_n, h_initial=s.h_initial,
+            h_cur=h_n, f_cur=f_n, aux_cur=aux_n,
+            stat=res["stat"], stat_scaling=res["stat_scaling"],
+            compl=res["compl"], compl_scaling=res["compl_scaling"],
+            primal_feas=res["primal_feas"],
+            feas_stat=res["feas_stat"], feas_stat_scaling=res["feas_stat_scaling"],
+            feas_compl=res["feas_compl"], feas_compl_scaling=res["feas_compl_scaling"],
+            loose_count=loose_count, iteration=iteration, status=status,
+            step_norm=alpha * dir_norm,
+            num_subproblems=s.num_subproblems + 1,
+            num_factorizations=s.num_factorizations + reg.attempts,
+            num_obj_evals=s.num_obj_evals + ls_iters + 1,
+            num_con_evals=s.num_con_evals + ls_iters + 1,
+        )
+
+    return step
+
+
+def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options) -> IPMState:
+    """generate_initial_iterate (PrimalDualInteriorPointMethod.cpp:64-108):
+    interior push of primals, slack init from c(x), default bound duals,
+    least-square constraint multipliers."""
+    n, m = ws.n, ws.m
+    lbj, ubj = jnp.asarray(ws.lb), jnp.asarray(ws.ub)
+    hlb, hub = jnp.asarray(ws.has_lb), jnp.asarray(ws.has_ub)
+    k1 = opts.barrier_push_variable_to_interior_k1
+    k2 = opts.barrier_push_variable_to_interior_k2
+
+    x0 = jnp.asarray(prob.x0)
+    x = bar.push_to_interior(x0, lbj, ubj, k1, k2)
+
+    # slacks <- interior push of the model constraint values c_i(x)
+    if prob.slack_of_constraint is not None and m:
+        cvals = prob.constraints(x)
+        for ci, si in enumerate(prob.slack_of_constraint):
+            if si >= 0:
+                raw = cvals[ci] + x[si]   # c_tilde + s == c_model - shift
+                x = x.at[si].set(bar.push_to_interior(raw, lbj[si], ubj[si], k1, k2))
+
+    zl = jnp.where(hlb, opts.barrier_default_multiplier, 0.0)
+    zu = jnp.where(hub, -opts.barrier_default_multiplier, 0.0)
+
+    # least-square multipliers (Preprocessing.cpp:17-75):
+    # solve [I J^T; J 0][r; y] = [g - zl - zu; 0], keep y if ||y||inf <= 1e3
+    y = jnp.zeros((m,))
+    if m:
+        g = prob.objective_gradient(x)
+        J = prob.constraint_jacobian(x)
+        K = jnp.block([[jnp.eye(n), J.T], [J, jnp.zeros((m, m))]])
+        rhs = jnp.concatenate([g - zl - zu, jnp.zeros((m,))])
+        fac = ldlt_factor_blocked(K, block=opts.ldlt_block_size)
+        sol = ldlt_solve(fac, rhs)
+        y_try = sol[n:]
+        ok = (jnp.max(jnp.abs(y_try), initial=0.0) <= opts.least_square_multiplier_max_norm) \
+            & jnp.all(jnp.isfinite(y_try)) & (fac.num_zero == 0)
+        y = jnp.where(ok, y_try, jnp.zeros((m,)))
+
+    mu0 = jnp.asarray(opts.barrier_initial_parameter)
+    ones_m = jnp.ones((m,))
+    res = _residuals(prob, ws, opts, x, y, zl, zu,
+                     jnp.zeros((m,)), jnp.zeros((n,)), jnp.zeros((n,)),
+                     ones_m, ones_m, ones_m, ones_m,
+                     jnp.asarray(1.0), opts.l1_constraint_violation_coefficient)
+
+    c = prob.constraints(x)
+    h0 = prob.constraint_violation(c, opts.progress_norm)
+    f0 = prob.objective(x)
+    aux0 = bar.barrier_auxiliary_measure(x, lbj, ubj, hlb, hub, mu0,
+                                         opts.barrier_damping_factor)
+
+    filt = flt.filter_init(opts.filter_capacity)
+    # FilterMethod::initialize: ub = max(filter_ubd, filter_fact * h0)
+    filt = flt.filter_set_ub(filt, jnp.maximum(opts.filter_ubd, opts.filter_fact * h0))
+
+    return IPMState(
+        x=x, y=y, zl=zl, zu=zu,
+        y_f=jnp.zeros((m,)), zl_f=jnp.zeros((n,)), zu_f=jnp.zeros((n,)),
+        p=ones_m, q=ones_m, zp=ones_m, zq=ones_m,
+        mu=mu0, mu_backup=mu0, prev_delta=jnp.asarray(0.0),
+        phase=jnp.asarray(0),
+        skip_mu_update=jnp.asarray(False), subproblem_changed=jnp.asarray(False),
+        filter=filt, x_ref=x, h_ref=h0, h_initial=h0,
+        h_cur=h0, f_cur=f0, aux_cur=aux0,
+        stat=res["stat"], stat_scaling=res["stat_scaling"],
+        compl=res["compl"], compl_scaling=res["compl_scaling"],
+        primal_feas=res["primal_feas"],
+        feas_stat=res["feas_stat"], feas_stat_scaling=res["feas_stat_scaling"],
+        feas_compl=res["feas_compl"], feas_compl_scaling=res["feas_compl_scaling"],
+        loose_count=jnp.asarray(0), iteration=jnp.asarray(0),
+        status=jnp.asarray(RUNNING), step_norm=jnp.asarray(0.0),
+        num_subproblems=jnp.asarray(0), num_factorizations=jnp.asarray(0),
+        num_obj_evals=jnp.asarray(0), num_con_evals=jnp.asarray(0),
+    )
+
+
+@dataclass
+class Result:
+    """Reference Result (optimization/Result.hpp:11-29) analogue."""
+    status: str
+    x: np.ndarray
+    y: np.ndarray
+    zl: np.ndarray
+    zu: np.ndarray
+    objective: float
+    iterations: int
+    primal_feasibility: float
+    stationarity: float
+    complementarity: float
+    cpu_time: float
+    num_subproblems_solved: int
+    num_factorizations: int
+    num_objective_evaluations: int
+    num_constraint_evaluations: int
+
+    @property
+    def success(self) -> bool:
+        return self.status in ("optimal", "almost_optimal")
+
+    def __repr__(self):
+        return (f"Result(status={self.status}, f={self.objective:.8g}, "
+                f"iters={self.iterations}, feas={self.primal_feasibility:.2e}, "
+                f"stat={self.stationarity:.2e}, time={self.cpu_time:.3f}s)")
+
+
+def build_ipm(nlp: NLP, opts: Options):
+    """Compile-time setup: scaling, reformulation, workspace, jitted runner."""
+    scaled = transforms.scale_model(nlp, opts.function_scaling_threshold) \
+        if opts.scale_functions else nlp
+    prob = transforms.reformulate_for_interior_point(scaled, opts.tolerance)
+    ws = _build_workspace(prob)
+    step = make_ipm_step(prob, ws, opts)
+
+    def run(state):
+        return lax.while_loop(lambda s: s.status == RUNNING, step, state)
+
+    return prob, ws, step, jax.jit(run)
+
+
+def solve_ipm(nlp: NLP, opts: Options, callbacks=None) -> Result:
+    t0 = time.time()
+    prob, ws, step, run = build_ipm(nlp, opts)
+    state0 = make_initial_state(prob, ws, opts)
+    final = jax.block_until_ready(run(state0))
+    elapsed = time.time() - t0
+
+    x_full = np.asarray(final.x)
+    x_orig = x_full[: nlp.n]
+    f_scale = prob.f_scale
+    c_scale = prob.c_scale if prob.c_scale is not None else np.ones(max(ws.m, 1))
+    y = np.asarray(final.y)[: nlp.m] * c_scale[: nlp.m] / f_scale if nlp.m else np.zeros(0)
+    f_val = float(nlp.objective(jnp.asarray(x_orig)))
+    if callbacks is not None and hasattr(callbacks, "notify_acceptable_iterate"):
+        callbacks.notify_acceptable_iterate(x_orig, y, 1.0)
+    return Result(
+        status=STATUS_NAMES[int(final.status)],
+        x=x_orig, y=y,
+        zl=np.asarray(final.zl)[: nlp.n] / f_scale,
+        zu=np.asarray(final.zu)[: nlp.n] / f_scale,
+        objective=f_val,
+        iterations=int(final.iteration),
+        primal_feasibility=float(final.primal_feas),
+        stationarity=float(final.stat / final.stat_scaling),
+        complementarity=float(final.compl / final.compl_scaling),
+        cpu_time=elapsed,
+        num_subproblems_solved=int(final.num_subproblems),
+        num_factorizations=int(final.num_factorizations),
+        num_objective_evaluations=int(final.num_obj_evals),
+        num_constraint_evaluations=int(final.num_con_evals),
+    )
