@@ -1,0 +1,84 @@
+"""Benchmark: batched IPM solve throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "batched_ipm_solves_per_sec", "value": N, "unit": "solves/s",
+   "vs_baseline": R}
+
+Workload: B independent instances of an 8-variable, 2-constraint nonconvex
+NLP family (random quadratic objectives, one linear + one quadratic
+constraint, variable bounds), solved to the ipopt preset's 1e-8 KKT tolerance
+by the fully-jitted vmapped IPM (per-instance convergence masks).
+
+Baseline: the reference (Uno @ /root/reference) is single-instance,
+single-core; it has no published numeric tables (BASELINE.md), so the
+baseline used here is an estimated 1000 solves/s for single-core Uno-ipopt on
+problems of this size (sub-ms per solve: ~10 iterations of ASL evals + MA57
+on a 10x10 KKT).  vs_baseline = value / 1000.  BASELINE.md's target is
+>= 50x single-core throughput.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    import uno_tpu  # noqa: F401  (enables x64)
+    from uno_tpu.options import preset
+    from uno_tpu.solvers.batch import build_batch_ipm
+    from __graft_entry__ import _flagship
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    opts = preset("ipopt", scale_functions=False)
+    nlp, x0, params = _flagship(B)
+
+    prob, run = build_batch_ipm(nlp, opts)
+    x0j, pj = jnp.asarray(x0), jnp.asarray(params)
+
+    # compile (excluded from the measurement)
+    t0 = time.time()
+    final = jax.block_until_ready(run(x0j, pj))
+    compile_and_first = time.time() - t0
+
+    # timed runs
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        final = jax.block_until_ready(run(x0j, pj))
+        times.append(time.time() - t0)
+    best = min(times)
+
+    status = np.asarray(final.status)
+    solved = int(np.sum((status == 1) | (status == 2)))
+    iters = np.asarray(final.iteration)
+    throughput = solved / best
+
+    result = {
+        "metric": "batched_ipm_solves_per_sec",
+        "value": round(throughput, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(throughput / 1000.0, 3),
+        "detail": {
+            "batch": B,
+            "solved": solved,
+            "wall_s": round(best, 4),
+            "compile_and_first_s": round(compile_and_first, 1),
+            "mean_iterations": round(float(iters.mean()), 2),
+            "max_iterations": int(iters.max()),
+            "tolerance": 1e-8,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

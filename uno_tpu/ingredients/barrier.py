@@ -50,8 +50,8 @@ def barrier_auxiliary_measure(x, lb, ub, has_lb, has_ub, mu, damping):
     bounded vars)); the IPM auxiliary progress measure."""
     single_lb = has_lb & ~has_ub
     single_ub = has_ub & ~has_lb
-    terms = -jnp.where(has_lb, jnp.log(jnp.maximum(x - lb, 1e-300)), 0.0)
-    terms = terms - jnp.where(has_ub, jnp.log(jnp.maximum(ub - x, 1e-300)), 0.0)
+    terms = -jnp.where(has_lb, jnp.log(jnp.maximum(x - lb, 1e-35)), 0.0)
+    terms = terms - jnp.where(has_ub, jnp.log(jnp.maximum(ub - x, 1e-35)), 0.0)
     terms = terms + jnp.where(single_lb, damping * (x - lb), 0.0)
     terms = terms + jnp.where(single_ub, damping * (ub - x), 0.0)
     return mu * jnp.sum(terms)

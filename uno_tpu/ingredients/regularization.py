@@ -21,7 +21,18 @@ from typing import Callable, NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
-from uno_tpu.linalg.ldlt import LDLT, ldlt_factor_blocked
+from uno_tpu.linalg.ldlt import LDLT, ldlt_factor, ldlt_factor_blocked
+
+
+def pick_factorizer(dim: int, block: int):
+    """Small KKT systems (CUTEst-class) skip panel blocking: the unblocked
+    column loop has `dim` sequential steps with no padding, which beats a
+    padded 'block'-wide panel; large systems use the MXU-blocked variant
+    with the panel width rounded to the matrix size."""
+    if dim <= 24:
+        return ldlt_factor
+    b = min(block, -(-dim // 8) * 8)
+    return lambda A: ldlt_factor_blocked(A, block=b)
 
 
 class RegularizedFactorization(NamedTuple):
@@ -46,8 +57,10 @@ def regularize_and_factor(
     """assemble(delta, eps) must build the full augmented matrix with the
     regularization applied (+delta on primal diagonal slots, -eps on dual)."""
 
+    factorize = pick_factorizer(expected_pos + expected_neg, block)
+
     def factor(delta, eps):
-        return ldlt_factor_blocked(assemble(delta, eps), block=block)
+        return factorize(assemble(delta, eps))
 
     def inertia_ok(fac):
         return (fac.num_pos == expected_pos) & (fac.num_neg == expected_neg) \

@@ -52,7 +52,7 @@ def _pivot_threshold(d, zero_pivot_rtol):
 
 
 def _safe(dj):
-    tiny = jnp.asarray(1e-300, dtype=dj.dtype) if dj.dtype == jnp.float64 else jnp.asarray(1e-30, dtype=dj.dtype)
+    tiny = jnp.asarray(1e-35, dtype=dj.dtype)
     return jnp.where(jnp.abs(dj) < tiny, jnp.where(dj < 0, -tiny, tiny), dj)
 
 

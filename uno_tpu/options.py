@@ -77,7 +77,7 @@ class Options:
     LS_scale_duals_with_step_length: bool = True
 
     # ---- regularization (DefaultOptions.cpp:115-131) -----------------------
-    regularization_failure_threshold: float = 1e40
+    regularization_failure_threshold: float = 1e38  # reference: 1e40; capped into f32 range for TPU f64-emulation
     regularization_initial_value: float = 1e-4
     regularization_increase_factor: float = 2.0
     primal_regularization_initial_factor: float = 1e-4

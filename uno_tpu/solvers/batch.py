@@ -1,0 +1,97 @@
+"""Batched (vmapped) IPM driver with per-instance convergence masks.
+
+The reference is strictly single-instance single-core; the TPU-native scale
+axis (SURVEY.md §2.15, BASELINE.md) is a vmapped batch of independent NLP
+instances of the same structure (same functions/shapes, different x0/params),
+optionally sharded across chips.
+
+Per-instance convergence: `jax.vmap` of the solver's `lax.while_loop` lowers
+to a single loop that runs until ALL instances terminate, with converged
+instances' states frozen by select — exactly the per-instance convergence
+mask semantics, for free.
+
+Limitation (documented): gradient-based function scaling (scale_functions)
+uses the template instance's scaling for the whole batch, since per-instance
+scaling would make constraint bounds instance-dependent (non-static).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from uno_tpu.model.nlp import NLP
+from uno_tpu.options import Options
+from uno_tpu.solvers import ipm as ipm_mod
+from uno_tpu.solvers.ipm import (IPMState, RUNNING, STATUS_NAMES, build_ipm,
+                                 make_initial_state)
+
+
+@dataclass
+class BatchResult:
+    status: np.ndarray        # (B,) int status codes
+    x: np.ndarray             # (B, n_orig)
+    objective: np.ndarray     # (B,)
+    iterations: np.ndarray    # (B,)
+    primal_feasibility: np.ndarray
+    stationarity: np.ndarray
+    cpu_time: float
+
+    @property
+    def num_solved(self) -> int:
+        return int(np.sum((self.status == ipm_mod.OPTIMAL)
+                          | (self.status == ipm_mod.ALMOST_OPTIMAL)))
+
+    def status_names(self):
+        return [STATUS_NAMES[int(s)] for s in self.status]
+
+
+def build_batch_ipm(nlp: NLP, opts: Options):
+    """Returns (prob, solve_batch) where solve_batch(x0_batch, params_batch)
+    -> final IPMState batch.  x0_batch is in ORIGINAL variable space (B, n);
+    slacks are initialized internally."""
+    prob, ws, step, _ = build_ipm(nlp, opts)
+    n_slack = prob.n - nlp.n
+
+    def solve_one(x0, params):
+        x0_full = jnp.concatenate([x0, jnp.zeros((n_slack,), dtype=x0.dtype)]) \
+            if n_slack else x0
+        s0 = make_initial_state(prob, ws, opts, x0=x0_full, params=params)
+        return lax.while_loop(lambda s: s.status == RUNNING, step, s0)
+
+    batched = jax.jit(jax.vmap(solve_one))
+    return prob, batched
+
+
+def solve_batch(nlp: NLP, opts: Options, x0_batch, params_batch=None) -> BatchResult:
+    """Solve a batch of instances; returns aggregated results."""
+    t0 = time.time()
+    prob, run = build_batch_ipm(nlp, opts)
+    x0_batch = jnp.asarray(x0_batch)
+    B = x0_batch.shape[0]
+    if params_batch is None and nlp.params is not None:
+        params_batch = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (B,) + jnp.asarray(a).shape), nlp.params)
+    final = jax.block_until_ready(run(x0_batch, params_batch))
+    elapsed = time.time() - t0
+
+    x_orig = np.asarray(final.x)[:, : nlp.n]
+    fvals = np.asarray(jax.vmap(lambda x, p: nlp.objective(x, p) if params_batch is not None
+                                else nlp.objective(x))(jnp.asarray(x_orig), params_batch)
+                       if params_batch is not None else
+                       jax.vmap(nlp.objective)(jnp.asarray(x_orig)))
+    return BatchResult(
+        status=np.asarray(final.status),
+        x=x_orig,
+        objective=fvals,
+        iterations=np.asarray(final.iteration),
+        primal_feasibility=np.asarray(final.primal_feas),
+        stationarity=np.asarray(final.stat / final.stat_scaling),
+        cpu_time=elapsed,
+    )

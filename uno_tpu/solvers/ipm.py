@@ -49,6 +49,7 @@ from uno_tpu.ingredients import barrier as bar
 from uno_tpu.ingredients import filters as flt
 from uno_tpu.ingredients.regularization import regularize_and_factor
 from uno_tpu.linalg.ldlt import ldlt_factor_blocked, ldlt_solve
+from uno_tpu.ingredients.regularization import pick_factorizer
 from uno_tpu.model.nlp import NLP, vector_norm
 from uno_tpu.model import transforms
 from uno_tpu.options import Options
@@ -72,7 +73,7 @@ STATUS_NAMES = {
     MAX_ITERATIONS: "iteration_limit",
 }
 
-LARGE_BOUND = 1e40
+LARGE_BOUND = 1e25  # f32-range-safe: TPU f64 is double-float emulation (range ~3.4e38)
 
 
 class IPMState(NamedTuple):
@@ -126,6 +127,9 @@ class IPMState(NamedTuple):
     num_factorizations: jnp.ndarray
     num_obj_evals: jnp.ndarray
     num_con_evals: jnp.ndarray
+    # per-instance NLP parameters (batch axis for vmapped multi-instance
+    # solves); None for single-instance problems
+    params: object
 
 
 @dataclass(frozen=True)
@@ -158,10 +162,10 @@ def _build_workspace(prob: NLP) -> IPMWorkspace:
 # --------------------------------------------------------------------------
 
 def _residuals(prob: NLP, ws: IPMWorkspace, opts: Options, x, y, zl, zu,
-               y_f, zl_f, zu_f, p, q, zp, zq, sigma, nu):
-    g = prob.objective_gradient(x)
-    c = prob.constraints(x)
-    J = prob.constraint_jacobian(x)
+               y_f, zl_f, zu_f, p, q, zp, zq, sigma, nu, params=None):
+    g = prob.objective_gradient(x, params)
+    c = prob.constraints(x, params)
+    J = prob.constraint_jacobian(x, params)
     lbj, ubj = jnp.asarray(ws.lb), jnp.asarray(ws.ub)
     hlb, hub = jnp.asarray(ws.has_lb), jnp.asarray(ws.has_ub)
     rn = opts.residual_norm
@@ -286,22 +290,22 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
     eps_machine = float(np.finfo(np.float64).eps)
 
     def prox_scaling(x_ref):
-        s = jnp.minimum(1.0, 1.0 / jnp.maximum(jnp.abs(x_ref), 1e-300))
+        s = jnp.minimum(1.0, 1.0 / jnp.maximum(jnp.abs(x_ref), 1e-35))
         return s * s
 
     def aux_measure(x, p, q, mu, is_feas):
         a = bar.barrier_auxiliary_measure(x, lbj, ubj, hlb, hub, mu, damping)
         if m:
             # elastics are single-lower-bounded at 0
-            ael = mu * jnp.sum(-jnp.log(jnp.maximum(p, 1e-300))
-                               - jnp.log(jnp.maximum(q, 1e-300))
+            ael = mu * jnp.sum(-jnp.log(jnp.maximum(p, 1e-35))
+                               - jnp.log(jnp.maximum(q, 1e-35))
                                + damping * (p + q))
             a = a + jnp.where(is_feas, ael, 0.0)
         return a
 
-    def progress(x, p, q, mu, is_feas):
-        f_val = prob.objective(x)
-        c = prob.constraints(x)
+    def progress(x, p, q, mu, is_feas, params):
+        f_val = prob.objective(x, params)
+        c = prob.constraints(x, params)
         h = prob.constraint_violation(c, opts.progress_norm)
         aux = aux_measure(x, p, q, mu, is_feas)
         return h, f_val, aux
@@ -335,15 +339,15 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
         )
 
         # current-iterate progress under (possibly new) mu
-        h_cur, f_cur, aux_cur = progress(s.x, s.p, s.q, mu, is_feas)
+        h_cur, f_cur, aux_cur = progress(s.x, s.p, s.q, mu, is_feas, s.params)
         # filter objective measure phi(1) + aux (SwitchingMethod::unconstrained_merit)
         merit_cur = f_cur + aux_cur
 
         # -- evaluate derivatives at current x ------------------------------
-        g = prob.objective_gradient(s.x)
-        c = prob.constraints(s.x)
-        J = prob.constraint_jacobian(s.x)
-        H_lag = prob.lagrangian_hessian(s.x, y_a, sigma)
+        g = prob.objective_gradient(s.x, s.params)
+        c = prob.constraints(s.x, s.params)
+        J = prob.constraint_jacobian(s.x, s.params)
+        H_lag = prob.lagrangian_hessian(s.x, y_a, sigma, s.params)
 
         # proximal term (feasibility phase only): sqrt(mu)*diag(scaling^2)
         prox_coef = jnp.sqrt(mu)
@@ -438,13 +442,13 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
             zl_t, zu_t = bar.k_sigma_rescale(x_t, zl_t, zu_t, lbj, ubj, hlb, hub,
                                              mu, opts.barrier_k_sigma)
             if m:
-                coef = mu / jnp.maximum(p_t, 1e-300)
+                coef = mu / jnp.maximum(p_t, 1e-35)
                 zp_t = jnp.where(is_feas, jnp.clip(zp_t, coef / opts.barrier_k_sigma,
                                                    coef * opts.barrier_k_sigma), zp_t)
-                coef = mu / jnp.maximum(q_t, 1e-300)
+                coef = mu / jnp.maximum(q_t, 1e-35)
                 zq_t = jnp.where(is_feas, jnp.clip(zq_t, coef / opts.barrier_k_sigma,
                                                    coef * opts.barrier_k_sigma), zq_t)
-            h_t, f_t, aux_t = progress(x_t, p_t, q_t, mu, is_feas)
+            h_t, f_t, aux_t = progress(x_t, p_t, q_t, mu, is_feas, s.params)
             finite = jnp.isfinite(f_t) & jnp.isfinite(h_t) & jnp.isfinite(aux_t)
 
             # predicted reductions at step length alpha
@@ -560,7 +564,7 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
         # -- residuals at the new iterate, with the new phase's multiplier --
         res = _residuals(prob, ws, opts, x_n, y_n, zl_n, zu_n,
                          y_f_n, zl_f_n, zu_f_n, p_n, q_n, zp_n, zq_n,
-                         sigma_next, nu)
+                         sigma_next, nu, s.params)
 
         # -- termination -----------------------------------------------------
         kkt_tight, infeas_tight = _first_order_status(
@@ -605,12 +609,14 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
             num_factorizations=s.num_factorizations + reg.attempts,
             num_obj_evals=s.num_obj_evals + ls_iters + 1,
             num_con_evals=s.num_con_evals + ls_iters + 1,
+            params=s.params,
         )
 
     return step
 
 
-def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options) -> IPMState:
+def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options,
+                       x0=None, params=None) -> IPMState:
     """generate_initial_iterate (PrimalDualInteriorPointMethod.cpp:64-108):
     interior push of primals, slack init from c(x), default bound duals,
     least-square constraint multipliers."""
@@ -620,12 +626,12 @@ def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options) -> IPMState:
     k1 = opts.barrier_push_variable_to_interior_k1
     k2 = opts.barrier_push_variable_to_interior_k2
 
-    x0 = jnp.asarray(prob.x0)
+    x0 = jnp.asarray(prob.x0) if x0 is None else jnp.asarray(x0)
     x = bar.push_to_interior(x0, lbj, ubj, k1, k2)
 
     # slacks <- interior push of the model constraint values c_i(x)
     if prob.slack_of_constraint is not None and m:
-        cvals = prob.constraints(x)
+        cvals = prob.constraints(x, params)
         for ci, si in enumerate(prob.slack_of_constraint):
             if si >= 0:
                 raw = cvals[ci] + x[si]   # c_tilde + s == c_model - shift
@@ -638,11 +644,11 @@ def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options) -> IPMState:
     # solve [I J^T; J 0][r; y] = [g - zl - zu; 0], keep y if ||y||inf <= 1e3
     y = jnp.zeros((m,))
     if m:
-        g = prob.objective_gradient(x)
-        J = prob.constraint_jacobian(x)
+        g = prob.objective_gradient(x, params)
+        J = prob.constraint_jacobian(x, params)
         K = jnp.block([[jnp.eye(n), J.T], [J, jnp.zeros((m, m))]])
         rhs = jnp.concatenate([g - zl - zu, jnp.zeros((m,))])
-        fac = ldlt_factor_blocked(K, block=opts.ldlt_block_size)
+        fac = pick_factorizer(n + m, opts.ldlt_block_size)(K)
         sol = ldlt_solve(fac, rhs)
         y_try = sol[n:]
         ok = (jnp.max(jnp.abs(y_try), initial=0.0) <= opts.least_square_multiplier_max_norm) \
@@ -654,11 +660,12 @@ def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options) -> IPMState:
     res = _residuals(prob, ws, opts, x, y, zl, zu,
                      jnp.zeros((m,)), jnp.zeros((n,)), jnp.zeros((n,)),
                      ones_m, ones_m, ones_m, ones_m,
-                     jnp.asarray(1.0), opts.l1_constraint_violation_coefficient)
+                     jnp.asarray(1.0), opts.l1_constraint_violation_coefficient,
+                     params)
 
-    c = prob.constraints(x)
+    c = prob.constraints(x, params)
     h0 = prob.constraint_violation(c, opts.progress_norm)
-    f0 = prob.objective(x)
+    f0 = prob.objective(x, params)
     aux0 = bar.barrier_auxiliary_measure(x, lbj, ubj, hlb, hub, mu0,
                                          opts.barrier_damping_factor)
 
@@ -684,6 +691,7 @@ def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options) -> IPMState:
         status=jnp.asarray(RUNNING), step_norm=jnp.asarray(0.0),
         num_subproblems=jnp.asarray(0), num_factorizations=jnp.asarray(0),
         num_obj_evals=jnp.asarray(0), num_con_evals=jnp.asarray(0),
+        params=params,
     )
 
 
