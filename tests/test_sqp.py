@@ -1,0 +1,74 @@
+"""End-to-end SQP-path preset tests (filtersqp / funnelsqp / byrd / filterslp).
+
+Problem subset chosen for CPU test runtime; the full library sweep lives in
+the benchmark harness.  polak5+filtersqp is a known slow-restoration case
+(tracked for optimization) and excluded here.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import uno_tpu
+from uno_tpu.model.library import acceptable_optima, get_problem
+from uno_tpu.model.nlp import nlp_from_functions, INF
+
+
+def check(name, preset, max_iterations=200, rtol=1e-4):
+    nlp = get_problem(name)
+    res = uno_tpu.solve(nlp, preset=preset, max_iterations=max_iterations)
+    assert res.success, f"{name}/{preset}: {res.status}"
+    optima = acceptable_optima(name)
+    err = min(abs(res.objective - f) / max(1.0, abs(f)) for f in optima)
+    assert err <= rtol, f"{name}/{preset}: f={res.objective}, expected {optima}"
+    return res
+
+
+@pytest.mark.parametrize("name", ["hs014", "hs015", "hs016", "hs035", "hs071", "hs100"])
+def test_filtersqp(name):
+    check(name, "filtersqp")
+
+
+@pytest.mark.parametrize("name", ["hs014", "hs015", "hs071"])
+def test_funnelsqp(name):
+    check(name, "funnelsqp")
+
+
+@pytest.mark.parametrize("name", ["hs010", "hs015", "hs035", "hs048"])
+def test_byrd(name):
+    check(name, "byrd")
+
+
+def test_filterslp_on_lp_like_problem():
+    # SLP converges finitely on (nearly) linear problems
+    def f(x):
+        return x[0] + x[1]
+
+    def c(x):
+        return jnp.array([x[0] + 2.0 * x[1]])
+
+    nlp = nlp_from_functions("lp1", f, c, x0=[2.0, 2.0],
+                             x_lb=[0.0, 0.0], x_ub=[INF, INF],
+                             c_lb=[2.0], c_ub=[INF])
+    res = uno_tpu.solve(nlp, preset="filterslp", max_iterations=100)
+    assert res.status in ("optimal", "almost_optimal", "feasible_small_step")
+    assert abs(res.objective - 1.0) < 1e-4  # optimum at (0, 1)
+
+
+def test_filtersqp_restoration_on_infeasible_start():
+    # equality circle constraint with far-away start passes through restoration
+    res = check("rosenbrock_eq", "filtersqp")
+    assert res.primal_feasibility <= 1e-6
+
+
+def test_filtersqp_multipliers_at_solution():
+    res = check("hs015", "filtersqp")
+    # known multipliers at (0.5, 2): y1 = 700, zu1 = -1751
+    assert abs(res.y[0] - 700.0) < 1.0
+    assert abs(res.zl[0]) < 1e-6
+    assert res.y[1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_byrd_penalty_steering_reaches_feasibility():
+    res = check("polak5", "byrd", max_iterations=200)
+    assert res.primal_feasibility <= 1e-6

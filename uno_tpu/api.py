@@ -21,6 +21,11 @@ def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = N
         options = options.replace(**overrides)
 
     if options.inequality_handling_method == "primal_dual_interior_point":
+        if options.globalization_mechanism == "TR":
+            # reference: PrimalDualInteriorPointMethod.cpp:117-119
+            raise NotImplementedError(
+                "The interior-point subproblem does not support a trust "
+                "region; use globalization_mechanism='LS'")
         from uno_tpu.solvers.ipm import solve_ipm
         return solve_ipm(nlp, options, callbacks=callbacks)
     else:

@@ -1,0 +1,234 @@
+"""QP/LP subproblem solver: primal-dual interior point with inertia correction.
+
+TPU-native replacement for the reference's BQPD (Fortran active-set QP,
+/root/reference/uno/ingredients/subproblem_solvers/BQPD/BQPDSolver.cpp) and
+HiGHS LP (HiGHSSolver.cpp) behind the QPSolver/LPSolver interface
+(LPSolver.hpp:21-34).  Active-set pivoting is data-dependent control flow
+that XLA cannot vectorize; an interior-point method over the same dense
+LDL^T kernel is the TPU-idiomatic equivalent (SURVEY.md §7 stage 4a).
+Indefinite Hessians are convexified by the inertia-correction loop (the
+reference finds local solutions of the nonconvex QP via BQPD instead —
+documented deviation).
+
+Problem form (the Subproblem view, Subproblem.cpp:106-119 + .hpp:78-86):
+    min  g^T d + 1/2 d^T H d
+    s.t. rl <= J d <= ru        (rows with rl == ru are equalities)
+         dl <= d  <= du         (box: variable bounds intersected with TR)
+
+Inequality rows get a slack with barrier; the slack block is condensed into
+the dual diagonal (-Sigma_s^{-1}), so the KKT matrix stays (n+m) with the
+standard saddle inertia (n, m, 0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from uno_tpu.ingredients import barrier as bar
+from uno_tpu.ingredients.regularization import regularize_and_factor
+from uno_tpu.linalg.ldlt import ldlt_solve
+from uno_tpu.options import Options
+
+QP_OPTIMAL = 0
+QP_INFEASIBLE = 1
+QP_UNBOUNDED = 2
+QP_ERROR = 3
+
+HUGE = 1e25
+
+
+class QPResult(NamedTuple):
+    d: jnp.ndarray        # primal solution (n,)
+    y: jnp.ndarray        # constraint multipliers, Uno sign convention (m,)
+    zl: jnp.ndarray       # bound duals on d (n,)
+    zu: jnp.ndarray
+    status: jnp.ndarray   # scalar int
+    objective: jnp.ndarray
+    iterations: jnp.ndarray
+    kkt_error: jnp.ndarray
+
+
+@dataclass(frozen=True)
+class QPStructure:
+    """Static sparsity/bound structure of a QP family."""
+    n: int
+    m: int
+    has_dl: np.ndarray    # (n,) finite lower box bound
+    has_du: np.ndarray
+    is_eq: np.ndarray     # (m,) rows with rl == ru
+    has_rl: np.ndarray    # (m,) finite row lower bound (inequality rows)
+    has_ru: np.ndarray
+
+
+def build_qp_solver(struct: QPStructure, opts: Options,
+                    tol: float = 1e-10, max_iterations: int = 150):
+    """Returns a jittable solve(g, H, J, rl, ru, dl, du) -> QPResult."""
+    n, m = struct.n, struct.m
+    has_dl = jnp.asarray(struct.has_dl)
+    has_du = jnp.asarray(struct.has_du)
+    is_eq = jnp.asarray(struct.is_eq)
+    has_rl = jnp.asarray(struct.has_rl & ~struct.is_eq)
+    has_ru = jnp.asarray(struct.has_ru & ~struct.is_eq)
+    is_ineq = ~is_eq
+    k1 = opts.barrier_push_variable_to_interior_k1
+    k2 = opts.barrier_push_variable_to_interior_k2
+    # within ONE QP solve the Hessian is fixed, so the convexification delta
+    # should track its static requirement closely: the NLP-level schedule
+    # (/3 then x8/x100) oscillates an order of magnitude around the needed
+    # value and destroys the tail convergence rate.  /2 with x2 (x10 fast)
+    # keeps delta within a factor 2 of the minimum.
+    reg_opts = opts.replace(primal_regularization_decrease_factor=2.0,
+                            primal_regularization_slow_increase_factor=2.0,
+                            primal_regularization_fast_increase_factor=10.0)
+
+    def solve(g, H, J, rl, ru, dl, du):
+        dl = jnp.where(has_dl, dl, -HUGE)
+        du = jnp.where(has_du, du, HUGE)
+        # slack bounds: inequality rows only; equality rows pin s = rl
+        sl = jnp.where(has_rl, rl, -HUGE) if m else jnp.zeros((0,))
+        su = jnp.where(has_ru, ru, HUGE) if m else jnp.zeros((0,))
+
+        d0 = bar.push_to_interior(jnp.zeros((n,)), dl, du, k1, k2)
+        if m:
+            s0 = jnp.where(is_eq, rl, bar.push_to_interior(J @ d0, sl, su, k1, k2))
+        else:
+            s0 = jnp.zeros((0,))
+        zl0 = jnp.where(has_dl, 1.0, 0.0)
+        zu0 = jnp.where(has_du, -1.0, 0.0)
+        wl0 = jnp.where(has_rl, 1.0, 0.0)
+        wu0 = jnp.where(has_ru, -1.0, 0.0)
+
+        def kkt_error(d, s, y, zl, zu, wl, wu):
+            r_d = g + H @ d - (J.T @ y if m else 0.0) - zl - zu
+            err = jnp.max(jnp.abs(r_d), initial=0.0)
+            if m:
+                r_c = J @ d - s
+                err = jnp.maximum(err, jnp.max(jnp.abs(r_c), initial=0.0))
+                # slack stationarity: y - wl - wu = 0 on inequality rows
+                r_s = jnp.where(is_ineq, y - wl - wu, 0.0)
+                err = jnp.maximum(err, jnp.max(jnp.abs(r_s), initial=0.0))
+            cl = bar.bound_complementarity_error(d, zl, zu, dl, du, has_dl, has_du)
+            err = jnp.maximum(err, jnp.max(jnp.abs(cl), initial=0.0))
+            if m:
+                cs = bar.bound_complementarity_error(s, wl, wu, sl, su, has_rl, has_ru)
+                err = jnp.maximum(err, jnp.max(jnp.abs(cs), initial=0.0))
+            return err
+
+        def body(carry):
+            d, s, y, zl, zu, wl, wu, mu, prev_delta, it, status = carry
+
+            Sigma_d = bar.barrier_hessian_diag(d, zl, zu, dl, du, has_dl, has_du)
+            g_bar_d = g + H @ d \
+                + bar.barrier_gradient(d, dl, du, has_dl, has_du, mu, 0.0)
+            rhs_d = -(g_bar_d - (J.T @ y if m else 0.0))
+
+            if m:
+                Sigma_s = bar.barrier_hessian_diag(s, wl, wu, sl, su, has_rl, has_ru)
+                g_bar_s = bar.barrier_gradient(s, sl, su, has_rl, has_ru, mu, 0.0)
+                # slack stationarity residual r_s = g_bar_s + y  (Uno sign: -J~^T y
+                # with J~ slack column -I gives +y)
+                r_s = g_bar_s + y
+                inv_Ss = jnp.where(is_ineq, 1.0 / jnp.maximum(Sigma_s, 1e-35), 0.0)
+                r_c = J @ d - s
+                rhs_c = -r_c - inv_Ss * r_s
+                rhs = jnp.concatenate([rhs_d, rhs_c])
+            else:
+                rhs = rhs_d
+
+            def assemble(delta, eps):
+                Hd = H + jnp.diag(Sigma_d + delta)
+                if m == 0:
+                    return Hd
+                dual_block = -jnp.diag(inv_Ss + eps)
+                return jnp.block([[Hd, J.T], [J, dual_block]])
+
+            reg = regularize_and_factor(assemble, n, m, jnp.sqrt(mu), prev_delta,
+                                        reg_opts, block=opts.ldlt_block_size)
+            sol = ldlt_solve(reg.fac, rhs)
+            dd = sol[:n]
+            w = sol[n:] if m else jnp.zeros((0,))
+            dy = -w
+            if m:
+                ds = jnp.where(is_ineq, inv_Ss * (-r_s + w), 0.0)
+                dwl, dwu = bar.bound_dual_direction(s, ds, wl, wu, sl, su, has_rl, has_ru, mu)
+            else:
+                ds = dwl = dwu = jnp.zeros((0,))
+            dzl, dzu = bar.bound_dual_direction(d, dd, zl, zu, dl, du, has_dl, has_du, mu)
+
+            tau = jnp.maximum(0.99, 1.0 - mu)
+            a_p = bar.primal_fraction_to_boundary(d, dd, dl, du, has_dl, has_du, tau)
+            a_z = bar.dual_fraction_to_boundary(zl, zu, dzl, dzu, has_dl, has_du, tau)
+            if m:
+                a_p = jnp.minimum(a_p, bar.primal_fraction_to_boundary(
+                    s, ds, sl, su, has_rl, has_ru, tau))
+                a_z = jnp.minimum(a_z, bar.dual_fraction_to_boundary(
+                    wl, wu, dwl, dwu, has_rl, has_ru, tau))
+
+            d = d + a_p * dd
+            s = s + a_p * ds
+            y = y + a_z * dy
+            zl, zu = zl + a_z * dzl, zu + a_z * dzu
+            wl, wu = wl + a_z * dwl, wu + a_z * dwu
+
+            # monotone barrier decrease
+            err = kkt_error(d, s, y, zl, zu, wl, wu)
+            mu = jnp.where(err <= 10.0 * mu,
+                           jnp.maximum(tol / 10.0,
+                                       jnp.minimum(0.2 * mu, jnp.power(mu, 1.5))),
+                           mu)
+
+            it = it + 1
+            finite = jnp.all(jnp.isfinite(d)) & jnp.all(jnp.isfinite(y))
+            status = jnp.where(err <= tol, QP_OPTIMAL, status)
+            status = jnp.where(jnp.max(jnp.abs(d), initial=0.0) > 1e10,
+                               QP_UNBOUNDED, status)
+            status = jnp.where(reg.failed | ~finite, QP_ERROR, status)
+            return d, s, y, zl, zu, wl, wu, mu, reg.prev_delta, it, status
+
+        def cond(carry):
+            *_, it, status = carry
+            return (status == -1) & (it < max_iterations)
+
+        init = (d0, s0, jnp.zeros((m,)), zl0, zu0, wl0, wu0,
+                jnp.asarray(0.1), jnp.asarray(0.0), jnp.asarray(0),
+                jnp.asarray(-1))
+        d, s, y, zl, zu, wl, wu, mu, _, it, status = lax.while_loop(cond, body, init)
+
+        err = kkt_error(d, s, y, zl, zu, wl, wu)
+        primal_res = jnp.max(jnp.abs(J @ d - s), initial=0.0) if m else jnp.asarray(0.0)
+        # iteration cap without tight convergence: accept at a loose tolerance
+        # (convexified nonconvex QPs converge linearly in the tail), declare
+        # infeasible if the primal residual stalled, otherwise a solver error
+        status = jnp.where((status == -1) & (err <= 1e-6), QP_OPTIMAL, status)
+        status = jnp.where(status == -1,
+                           jnp.where(primal_res > 1e-6, QP_INFEASIBLE, QP_ERROR),
+                           status)
+        # exploding duals also signal infeasibility
+        ynorm = jnp.max(jnp.abs(y), initial=0.0) if m else jnp.asarray(0.0)
+        status = jnp.where((status == QP_ERROR) & (ynorm > 1e8), QP_INFEASIBLE, status)
+        objective = g @ d + 0.5 * d @ (H @ d)
+        return QPResult(d=d, y=y, zl=zl, zu=zu, status=status,
+                        objective=objective, iterations=it, kkt_error=err)
+
+    return solve
+
+
+def qp_structure_from_bounds(rl, ru, dl, du) -> QPStructure:
+    """Build the static structure from representative bound arrays
+    (finiteness pattern must be constant across solves of the family)."""
+    rl, ru = np.asarray(rl), np.asarray(ru)
+    dl, du = np.asarray(dl), np.asarray(du)
+    return QPStructure(
+        n=dl.shape[0], m=rl.shape[0],
+        has_dl=np.isfinite(dl) & (dl > -1e20),
+        has_du=np.isfinite(du) & (du < 1e20),
+        is_eq=(rl == ru) & np.isfinite(rl),
+        has_rl=np.isfinite(rl) & (rl > -1e20),
+        has_ru=np.isfinite(ru) & (ru < 1e20),
+    )
