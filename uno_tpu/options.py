@@ -133,6 +133,11 @@ class Options:
     # log_0.5(5e-7) ~ 21; default LS_min_step_length 1e-12 needs 40
     max_line_search_iterations: int = 45
 
+    # ---- logging (DefaultOptions.cpp:51; default here is SILENT since this
+    # is a library; set "INFO" for the reference-style iteration table) ------
+    logger: str = "SILENT"
+    print_solution: bool = False
+
     # ---- TPU-native execution options (no reference equivalent) ------------
     dtype: str = "float64"           # factorization/compute dtype
     ldlt_block_size: int = 32        # blocked LDL^T panel width

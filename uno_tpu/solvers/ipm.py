@@ -738,11 +738,56 @@ def build_ipm(nlp: NLP, opts: Options):
     return prob, ws, step, jax.jit(run)
 
 
-def solve_ipm(nlp: NLP, opts: Options, callbacks=None) -> Result:
+def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
     t0 = time.time()
     prob, ws, step, run = build_ipm(nlp, opts)
     state0 = make_initial_state(prob, ws, opts)
-    final = jax.block_until_ready(run(state0))
+
+    from uno_tpu.utils.logger import Logger, LEVELS
+    verbose = LEVELS.index(opts.logger) >= LEVELS.index("INFO")
+    if callbacks is not None or history or verbose:
+        # step-by-step driver: one jitted outer iteration per Python loop
+        # pass, enabling the reference-style statistics table (Uno.cpp:115-127)
+        # and per-iterate user callbacks
+        from uno_tpu.utils.statistics import Statistics
+        stats = Statistics()
+        for name, w, order in (("iter", Statistics.INT_WIDTH, 1),
+                               ("step norm", Statistics.DOUBLE_WIDTH - 5, 31),
+                               ("objective", Statistics.DOUBLE_WIDTH - 5, 100),
+                               ("primal feas", Statistics.DOUBLE_WIDTH - 4, 101),
+                               ("stationarity", Statistics.DOUBLE_WIDTH - 3, 104),
+                               ("complementarity", Statistics.DOUBLE_WIDTH, 105),
+                               ("barrier", Statistics.DOUBLE_WIDTH - 5, 8),
+                               ("phase", Statistics.INT_WIDTH, 20)):
+            stats.add_column(name, w, order)
+        stepj = jax.jit(step)
+        s = state0
+        trace = [s] if history else None
+        while int(s.status) == RUNNING:
+            s = stepj(s)
+            if history:
+                trace.append(s)
+            if verbose:
+                stats.start_new_line()
+                stats.set("iter", int(s.iteration))
+                stats.set("step norm", float(s.step_norm))
+                stats.set("objective", float(s.f_cur))
+                stats.set("primal feas", float(s.primal_feas))
+                stats.set("stationarity", float(s.stat / s.stat_scaling))
+                stats.set("complementarity", float(s.compl / s.compl_scaling))
+                stats.set("barrier", float(s.mu))
+                stats.set("phase", "FEAS" if int(s.phase) else "OPT")
+                stats.print_current_line()
+            if callbacks is not None and hasattr(callbacks, "notify_new_primals"):
+                callbacks.notify_new_primals(np.asarray(s.x)[: nlp.n])
+        if verbose:
+            stats.print_footer()
+        final = s
+        if history:
+            final = s
+            final_trace = trace
+    else:
+        final = jax.block_until_ready(run(state0))
     elapsed = time.time() - t0
 
     x_full = np.asarray(final.x)
