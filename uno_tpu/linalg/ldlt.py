@@ -124,8 +124,10 @@ def ldlt_factor_blocked(A: jnp.ndarray, block: int = 32,
             dpan = dpan.at[jj].set(dj)
             return Pm, P, dpan
 
-        P0 = jnp.zeros((n, block), dtype=M.dtype)
-        d0 = jnp.zeros((block,), dtype=M.dtype)
+        # derive carries from M so the types stay axis-varying under
+        # shard_map (plain jnp.zeros would be replicated-typed)
+        P0 = Pm * 0.0
+        d0 = Pm[0] * 0.0
         _, P, dpan = lax.fori_loop(0, block, body, (Pm, P0, d0))
         return P, dpan
 
@@ -139,8 +141,8 @@ def ldlt_factor_blocked(A: jnp.ndarray, block: int = 32,
         d = lax.dynamic_update_slice(d, dpan, (k * block,))
         return M, L, d
 
-    L0 = jnp.zeros((n, n), dtype=A.dtype)
-    d0 = jnp.zeros((n,), dtype=A.dtype)
+    L0 = A * 0.0
+    d0 = A[0] * 0.0
     _, L, d = lax.fori_loop(0, nb, outer_body, (A, L0, d0))
 
     L = jnp.tril(L, -1) + jnp.eye(n, dtype=A.dtype)
