@@ -109,6 +109,43 @@ class NumpyFilter:
         self.entries.sort(key=lambda e: e[0])
 
 
+class NonmonotoneNumpyFilter(NumpyFilter):
+    """NonmonotoneFilter.cpp: acceptability tolerates up to N dominated
+    entries; add() removes entries dominated by more than N others and drops
+    the OLDEST entry when full (entries kept in insertion order)."""
+
+    def __init__(self, opts: Options):
+        super().__init__(opts)
+        self.max_dominated = opts.nonmonotone_filter_number_dominated_entries
+
+    def _dominated_count(self, h, phi):
+        count = 0
+        for hi, pi in self.entries:
+            if not self.objective_sufficient_reduction(pi, phi, h) and \
+                    not self.infeasibility_sufficient_reduction(hi, h):
+                count += 1
+            elif phi >= pi - self.gamma * h and h > self.beta * hi:
+                count += 1
+        return count
+
+    def acceptable(self, h, phi):
+        if not self.infeasibility_sufficient_reduction(self.ub, h):
+            return False
+        return self._dominated_count(h, phi) <= self.max_dominated
+
+    def add(self, h, phi):
+        kept = []
+        for i, (hi, pi) in enumerate(self.entries):
+            dominated = 1 if (pi > phi and hi > h) else 0
+            dominated += sum(1 for hj, pj in self.entries if pi > pj and hi > hj)
+            if dominated <= self.max_dominated:
+                kept.append((hi, pi))
+        self.entries = kept
+        if len(self.entries) >= self.capacity:
+            self.entries.pop(0)
+        self.entries.append((h, phi))
+
+
 @dataclass
 class Progress:
     infeasibility: float
@@ -158,7 +195,8 @@ class FletcherFilterStrategy(GlobalizationStrategyBase):
 
     def __init__(self, opts):
         super().__init__(opts)
-        self.filter = NumpyFilter(opts)
+        self.filter = NonmonotoneNumpyFilter(opts) \
+            if opts.filter_type == "nonmonotone" else NumpyFilter(opts)
 
     def initialize(self, initial: Progress):
         self.filter.ub = max(self.opts.filter_ubd,
@@ -195,7 +233,8 @@ class WaechterFilterStrategy(GlobalizationStrategyBase):
 
     def __init__(self, opts):
         super().__init__(opts)
-        self.filter = NumpyFilter(opts)
+        self.filter = NonmonotoneNumpyFilter(opts) \
+            if opts.filter_type == "nonmonotone" else NumpyFilter(opts)
         self.h_initial = 1.0
 
     def initialize(self, initial: Progress):
@@ -881,6 +920,20 @@ def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None) -> Result:
     res = ws.residuals(it.x, it.ev, it.f, it.c, it.g, it.J, it.y, it.zl, it.zu,
                        it.y_f, it.zl_f, it.zu_f, it.zl_el, relaxation.sigma, nu)
 
+    from uno_tpu.utils.logger import Logger, LEVELS
+    from uno_tpu.utils.statistics import Statistics
+    verbose = LEVELS.index(opts.logger) >= LEVELS.index("INFO")
+    stats = Statistics()
+    if verbose:
+        for cname, w, order in (("iter", Statistics.INT_WIDTH, 1),
+                                ("TR radius" if use_tr else "penalty",
+                                 Statistics.DOUBLE_WIDTH - 5, 8),
+                                ("phase", Statistics.INT_WIDTH, 20),
+                                ("objective", Statistics.DOUBLE_WIDTH - 5, 100),
+                                ("primal feas", Statistics.DOUBLE_WIDTH - 4, 101),
+                                ("stationarity", Statistics.DOUBLE_WIDTH - 3, 104)):
+            stats.add_column(cname, w, order)
+
     radius = opts.TR_radius
     n_qp = 0
     loose_count = 0
@@ -997,6 +1050,16 @@ def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None) -> Result:
 
         res = ws.residuals(it.x, it.ev, it.f, it.c, it.g, it.J, it.y, it.zl, it.zu,
                            it.y_f, it.zl_f, it.zu_f, it.zl_el, relaxation.sigma, nu)
+        if verbose:
+            stats.start_new_line()
+            stats.set("iter", iteration)
+            stats.set("TR radius" if use_tr else "penalty",
+                      radius if use_tr else getattr(relaxation, "rho", 1.0))
+            stats.set("phase", getattr(relaxation, "phase", "OPT"))
+            stats.set("objective", it.f)
+            stats.set("primal feas", res["primal_feas"])
+            stats.set("stationarity", res["stat"] / res["stat_scaling"])
+            stats.print_current_line()
         st = ws.first_order_status(res, relaxation.sigma, it.y_f, it.zl_f,
                                    it.zu_f, opts.tolerance)
         if st:
