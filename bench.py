@@ -37,7 +37,8 @@ def main():
     from __graft_entry__ import _flagship
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    opts = preset("ipopt", scale_functions=False)
+    kkt_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    opts = preset("ipopt", scale_functions=False, kkt_dtype=kkt_dtype)
     nlp, x0, params = _flagship(B)
 
     prob, run = build_batch_ipm(nlp, opts)
@@ -74,6 +75,7 @@ def main():
             "mean_iterations": round(float(iters.mean()), 2),
             "max_iterations": int(iters.max()),
             "tolerance": 1e-8,
+            "kkt_dtype": kkt_dtype,
             "device": str(jax.devices()[0]),
         },
     }

@@ -58,9 +58,12 @@ def regularize_and_factor(
     regularization applied (+delta on primal diagonal slots, -eps on dual)."""
 
     factorize = pick_factorizer(expected_pos + expected_neg, block)
+    # mixed precision (MA57-style, MA57Solver.cpp:137-145): factor in f32 at
+    # native TPU speed, refine the solve in f64 (kkt_dtype option)
+    factor_dtype = jnp.dtype(getattr(opts, "kkt_dtype", "float64"))
 
     def factor(delta, eps):
-        return factorize(assemble(delta, eps))
+        return factorize(assemble(delta, eps).astype(factor_dtype))
 
     def inertia_ok(fac):
         return (fac.num_pos == expected_pos) & (fac.num_neg == expected_neg) \

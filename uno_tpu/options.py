@@ -140,6 +140,9 @@ class Options:
 
     # ---- TPU-native execution options (no reference equivalent) ------------
     dtype: str = "float64"           # factorization/compute dtype
+    # KKT factorization dtype: "float32" factors at native TPU speed and
+    # recovers f64 accuracy with iterative refinement (MA57-style)
+    kkt_dtype: str = "float64" 
     ldlt_block_size: int = 32        # blocked LDL^T panel width
     bound_infinity: float = 1e20     # |bound| >= this is treated as infinite
 

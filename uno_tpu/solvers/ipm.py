@@ -387,7 +387,15 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
         dual_reg_param = jnp.power(mu, opts.barrier_regularization_exponent)
         reg = regularize_and_factor(assemble, n, m, dual_reg_param,
                                     s.prev_delta, opts, block=opts.ldlt_block_size)
-        sol = ldlt_solve(reg.fac, rhs)
+        if opts.kkt_dtype == "float32":
+            # mixed-precision: f32 factors + f64 iterative refinement
+            sol = ldlt_solve(reg.fac, rhs.astype(jnp.float32)).astype(rhs.dtype)
+            K64 = assemble(reg.delta, reg.eps)
+            for _ in range(2):
+                resid = rhs - K64 @ sol
+                sol = sol + ldlt_solve(reg.fac, resid.astype(jnp.float32)).astype(rhs.dtype)
+        else:
+            sol = ldlt_solve(reg.fac, rhs)
         dx = sol[:n]
         w = sol[n:] if m else jnp.zeros((0,), dtype=sol.dtype)
         dy = -w

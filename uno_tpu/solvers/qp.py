@@ -150,7 +150,14 @@ def build_qp_solver(struct: QPStructure, opts: Options,
 
             reg = regularize_and_factor(assemble, n, m, jnp.sqrt(mu), prev_delta,
                                         reg_opts, block=opts.ldlt_block_size)
-            sol = ldlt_solve(reg.fac, rhs)
+            if opts.kkt_dtype == "float32":
+                sol = ldlt_solve(reg.fac, rhs.astype(jnp.float32)).astype(rhs.dtype)
+                K64 = assemble(reg.delta, reg.eps)
+                for _ in range(2):
+                    resid = rhs - K64 @ sol
+                    sol = sol + ldlt_solve(reg.fac, resid.astype(jnp.float32)).astype(rhs.dtype)
+            else:
+                sol = ldlt_solve(reg.fac, rhs)
             dd = sol[:n]
             w = sol[n:] if m else jnp.zeros((0,))
             dy = -w
