@@ -59,10 +59,12 @@ def build_batch_ipm(nlp: NLP, opts: Options):
     prob, ws, step, _ = build_ipm(nlp, opts)
     n_slack = prob.n - nlp.n
 
+    from uno_tpu.solvers.ipm import canonicalize_state
+
     def solve_one(x0, params):
         x0_full = jnp.concatenate([x0, jnp.zeros((n_slack,), dtype=x0.dtype)]) \
             if n_slack else x0
-        s0 = make_initial_state(prob, ws, opts, x0=x0_full, params=params)
+        s0 = canonicalize_state(make_initial_state(prob, ws, opts, x0=x0_full, params=params))
         return lax.while_loop(lambda s: s.status == RUNNING, step, s0)
 
     batched = jax.jit(jax.vmap(solve_one))

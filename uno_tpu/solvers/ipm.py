@@ -732,6 +732,14 @@ class Result:
                 f"stat={self.stationarity:.2e}, time={self.cpu_time:.3f}s)")
 
 
+def canonicalize_state(state):
+    """Force strong dtypes on every leaf: weakly-typed scalars from
+    make_initial_state would otherwise trigger a re-jit on the second step
+    call (the step's outputs are strongly typed)."""
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, dtype=jnp.asarray(a).dtype), state)
+
+
 def build_ipm(nlp: NLP, opts: Options):
     """Compile-time setup: scaling, reformulation, workspace, jitted runner."""
     scaled = transforms.scale_model(nlp, opts.function_scaling_threshold) \
@@ -749,7 +757,7 @@ def build_ipm(nlp: NLP, opts: Options):
 def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
     t0 = time.time()
     prob, ws, step, run = build_ipm(nlp, opts)
-    state0 = make_initial_state(prob, ws, opts)
+    state0 = canonicalize_state(make_initial_state(prob, ws, opts))
 
     from uno_tpu.utils.logger import Logger, LEVELS
     verbose = LEVELS.index(opts.logger) >= LEVELS.index("INFO")
@@ -779,7 +787,7 @@ def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
                 stats.start_new_line()
                 stats.set("iter", int(s.iteration))
                 stats.set("step norm", float(s.step_norm))
-                stats.set("objective", float(s.f_cur))
+                stats.set("objective", float(s.f_cur) / prob.f_scale)
                 stats.set("primal feas", float(s.primal_feas))
                 stats.set("stationarity", float(s.stat / s.stat_scaling))
                 stats.set("complementarity", float(s.compl / s.compl_scaling))
