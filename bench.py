@@ -36,7 +36,7 @@ def main():
     from uno_tpu.solvers.batch import build_batch_ipm
     from __graft_entry__ import _flagship
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     kkt_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
     opts = preset("ipopt", scale_functions=False, kkt_dtype=kkt_dtype)
     nlp, x0, params = _flagship(B)
