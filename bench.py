@@ -41,7 +41,7 @@ def main():
     opts = preset("ipopt", scale_functions=False, kkt_dtype=kkt_dtype)
     nlp, x0, params = _flagship(B)
 
-    prob, run = build_batch_ipm(nlp, opts)
+    prob, run = build_batch_ipm(nlp, opts, params_example=jnp.asarray(params[0]))
     x0j, pj = jnp.asarray(x0), jnp.asarray(params)
 
     # compile (excluded from the measurement)

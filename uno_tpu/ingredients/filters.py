@@ -108,6 +108,11 @@ class WaechterDecision(NamedTuple):
     new_filter: FilterState
 
 
+class WaechterDecisionLazy(NamedTuple):
+    accept: jnp.ndarray
+    augment: jnp.ndarray   # caller applies filter_add(h_cur, merit_cur) iff set
+
+
 def waechter_is_acceptable(
     f: FilterState,
     h_cur, merit_cur,          # current (infeasibility, phi(1)+aux)
@@ -132,15 +137,12 @@ def waechter_is_acceptable(
         h_cur, merit_cur, h_tri, merit_tri, opts.filter_beta, opts.filter_gamma)
     accept = filter_ok & (accept_f | accept_h)
 
-    # augment the filter when accepting without (switching and armijo)
+    # augment the filter when accepting without (switching and armijo).
+    # NOTE: the add is returned as a flag, not applied: an accepted trial ends
+    # the line search, so the filter never changes mid-LS and the (sorting)
+    # filter_add can run once after the loop instead of per trial.
     augment = accept & (~switching | ~sufficient)
-    new_filter = filter_add(f, h_cur, merit_cur, opts.filter_beta)
-    new_filter = FilterState(
-        jnp.where(augment, new_filter.h, f.h),
-        jnp.where(augment, new_filter.phi, f.phi),
-        jnp.where(augment, new_filter.ub, f.ub),
-    )
-    return WaechterDecision(accept, new_filter)
+    return WaechterDecisionLazy(accept, augment)
 
 
 def fletcher_is_acceptable(

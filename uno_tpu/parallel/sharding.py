@@ -37,7 +37,7 @@ def build_sharded_batch_ipm(nlp: NLP, opts: Options, mesh: Mesh,
                             axis_name: str = "batch"):
     """Returns solve(x0_batch, params_batch) with inputs/outputs sharded over
     the mesh's batch axis.  Batch size must be a multiple of the mesh size."""
-    prob, run = build_batch_ipm(nlp, opts)
+    prob, run = build_batch_ipm(nlp, opts, params_example=None, batch_last=False)
     batch_sharding = NamedSharding(mesh, P(axis_name))
     replicated = NamedSharding(mesh, P())
 

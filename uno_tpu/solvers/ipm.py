@@ -479,33 +479,33 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
                 h_cur, aux_cur, h_t, aux_t, pred_h, pred_aux, opts)
             accept = jnp.where(is_feas, accept_feas, dec.accept) & finite
             accept = accept | (dir_norm == 0.0)
-            new_filter = flt.FilterState(
-                jnp.where(is_feas, filt.h, dec.new_filter.h),
-                jnp.where(is_feas, filt.phi, dec.new_filter.phi),
-                jnp.where(is_feas, filt.ub, dec.new_filter.ub),
-            )
+            augment = dec.augment & ~is_feas
             trial = (x_t, y_t, zl_t, zu_t, p_t, q_t, zp_t, zq_t, h_t, f_t, aux_t)
-            return accept, trial, new_filter
+            return accept, trial, augment
 
         def ls_cond(carry):
             alpha, accepted, ls_failed, k, _, _ = carry
             return ~accepted & ~ls_failed & (k < opts.max_line_search_iterations)
 
         def ls_body(carry):
-            alpha, accepted, ls_failed, k, trial, f_state = carry
-            acc, tr, nf = ls_trial(alpha)
+            alpha, accepted, ls_failed, k, trial, augment = carry
+            acc, tr, aug = ls_trial(alpha)
             ls_failed = ~acc & (alpha < opts.LS_min_step_length)
             alpha_next = jnp.where(acc | ls_failed, alpha,
                                    alpha * opts.LS_backtracking_ratio)
             trial = jax.tree_util.tree_map(lambda a, b: jnp.where(acc, b, a), trial, tr)
-            f_state = jax.tree_util.tree_map(lambda a, b: jnp.where(acc, b, a), f_state, nf)
-            return alpha_next, acc, ls_failed, k + 1, trial, f_state
+            augment = jnp.where(acc, aug, augment)
+            return alpha_next, acc, ls_failed, k + 1, trial, augment
 
         trial0 = (s.x, y_a, zl_a, zu_a, s.p, s.q, s.zp, s.zq, h_cur, f_cur, aux_cur)
         carry0 = (jnp.asarray(1.0), jnp.asarray(False), jnp.asarray(False),
-                  jnp.asarray(0), trial0, filt)
-        alpha, accepted, ls_failed, ls_iters, trial, filt = lax.while_loop(
+                  jnp.asarray(0), trial0, jnp.asarray(False))
+        alpha, accepted, ls_failed, ls_iters, trial, augment = lax.while_loop(
             ls_cond, ls_body, carry0)
+        # deferred Waechter filter augmentation (once, not per trial)
+        filt_aug = flt.filter_add(filt, h_cur, merit_cur, opts.filter_beta)
+        filt = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(augment & accepted, b, a), filt, filt_aug)
         # a failed KKT solve invalidates the direction entirely
         accepted = accepted & ~kkt_failed
         ls_failed = ls_failed | kkt_failed | \
