@@ -210,15 +210,20 @@ def build_qp_solver(struct: QPStructure, opts: Options,
         err = kkt_error(d, s, y, zl, zu, wl, wu)
         primal_res = jnp.max(jnp.abs(J @ d - s), initial=0.0) if m else jnp.asarray(0.0)
         # iteration cap without tight convergence: accept at a loose tolerance
-        # (convexified nonconvex QPs converge linearly in the tail), declare
-        # infeasible if the primal residual stalled, otherwise a solver error
+        # (convexified nonconvex QPs converge linearly in the tail); declare
+        # INFEASIBLE only with a certificate-like signature (stalled primal
+        # residual AND diverging duals) — a merely-unconverged solve must be
+        # ERROR, or the outer loop would enter restoration spuriously
         status = jnp.where((status == -1) & (err <= 1e-6), QP_OPTIMAL, status)
-        status = jnp.where(status == -1,
-                           jnp.where(primal_res > 1e-6, QP_INFEASIBLE, QP_ERROR),
-                           status)
-        # exploding duals also signal infeasibility
         ynorm = jnp.max(jnp.abs(y), initial=0.0) if m else jnp.asarray(0.0)
-        status = jnp.where((status == QP_ERROR) & (ynorm > 1e8), QP_INFEASIBLE, status)
+        status = jnp.where(status == -1,
+                           jnp.where((primal_res > 1e-6) & (ynorm > 1e4),
+                                     QP_INFEASIBLE, QP_ERROR),
+                           status)
+        # an early ERROR exit with exploded duals is the classic infeasibility
+        # signature of an IPM (dual ray)
+        status = jnp.where((status == QP_ERROR) & (ynorm > 1e8),
+                           QP_INFEASIBLE, status)
         objective = g @ d + 0.5 * d @ (H @ d)
         return QPResult(d=d, y=y, zl=zl, zu=zu, status=status,
                         objective=objective, iterations=it, kkt_error=err)

@@ -465,7 +465,9 @@ class SQPWorkspace:
         ru = self.cu - c_rel
         g_q = np.concatenate([rho * g, np.full(self.n_el, nu)])
         H_q = np.zeros((self.n + self.n_el, self.n + self.n_el))
-        H_q[: self.n, : self.n] = rho * np.asarray(H) if rho != 1.0 else np.asarray(H)
+        # H is the Lagrangian Hessian already evaluated WITH objective
+        # multiplier rho (rho*grad2 f - sum y_j grad2 c_j) — do not rescale
+        H_q[: self.n, : self.n] = np.asarray(H)
         J_q = np.concatenate([np.asarray(J), self.E], axis=1) if self.m else \
             np.zeros((0, self.n + self.n_el))
         dl = np.concatenate([np.maximum(-radius, self.xl - x), -ev])
@@ -646,10 +648,16 @@ class FeasibilityRestorationSQP:
                     zu_new=np.asarray(res.zu), zl_el_new=it.zl_el,
                     status=st, objective=float(res.objective),
                     norm=_norm(d, "INF"), feasibility=False)
-            if st == QP_INFEASIBLE:
+            if st == QP_INFEASIBLE and \
+                    it.progress.infeasibility > self.opts.tolerance:
+                # at a feasible iterate the linearized QP cannot be infeasible
+                # (d=0 is feasible): such a report is a solver artifact and is
+                # handled as an error (TR shrink) instead of restoration
                 self.switch_to_feasibility(it)
                 # fall through to the feasibility QP below
             else:
+                if st == QP_INFEASIBLE:
+                    st = QP_ERROR
                 return SQPDirection(np.zeros(ws.n), np.zeros(ws.n_el), it.y, it.zl,
                                     it.zu, it.zl_el, st, 0.0, 0.0, False)
         # feasibility problem (l1 relaxed, rho = 0); Hessian with sigma=0 and
@@ -755,9 +763,10 @@ class L1RelaxationSQP:
                 zu_t = np.asarray(res_f.zu)[: ws.n]
                 # NOTE: the reference threshold (1e-10) assumes an active-set
                 # QP solver returning exact zero multipliers; the IPM QP
-                # leaves O(qp_tol) dual dust, so the effective threshold must
-                # sit above it (genuine l1 duals are at the +-nu bound)
-                dust = max(o.l1_small_duals_threshold, 1e-6)
+                # leaves dual dust up to ~sqrt(qp_tol) (z*slack ~ mu_final
+                # with slack ~ sqrt(mu)), so the gate sits at 1e-3 — well
+                # below genuine l1 duals, which live at the +-nu bound
+                dust = max(o.l1_small_duals_threshold, 1e-3)
                 nontrivial = np.max(np.abs(y_trial), initial=0.0) > dust \
                     or np.max(np.abs(zl_t + zu_t), initial=0.0) > dust
                 if nontrivial:
