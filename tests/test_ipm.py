@@ -96,3 +96,26 @@ def test_max_iterations_respected():
 def test_equality_only_problem():
     res = uno_tpu.solve(get_problem("hs048"), preset="ipopt")
     assert res.success and abs(res.objective) < 1e-8
+
+
+def test_larger_scale_chained_rosenbrock():
+    from uno_tpu.model.library import chained_rosenbrock
+    nlp = chained_rosenbrock(50)
+    res = uno_tpu.solve(nlp, preset="ipopt")
+    assert res.success
+    assert res.primal_feasibility <= 1e-8
+
+
+def test_larger_scale_quadratic_vs_scipy():
+    from uno_tpu.model.library import scalable_quadratic
+    from scipy.optimize import minimize
+    nlp = scalable_quadratic(40, 10, seed=2)
+    res = uno_tpu.solve(nlp, preset="ipopt")
+    assert res.success
+    r = minimize(lambda x: float(nlp.objective(jnp.asarray(x))), np.zeros(40),
+                 jac=lambda x: np.asarray(nlp.objective_gradient(jnp.asarray(x))),
+                 method="SLSQP", bounds=[(-2, 2)] * 40,
+                 constraints=[{"type": "ineq",
+                               "fun": lambda x: -np.asarray(nlp.constraints(jnp.asarray(x)))}],
+                 options={"ftol": 1e-12, "maxiter": 500})
+    assert abs(res.objective - r.fun) < 1e-5 * max(1, abs(r.fun))

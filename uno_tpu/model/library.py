@@ -272,3 +272,44 @@ def rosenbrock_eq():
 
     return nlp_from_functions("rosenbrock_eq", f, c, x0=[2.0, 2.0],
                               c_lb=[2.0], c_ub=[2.0])
+
+
+def chained_rosenbrock(n: int) -> NLP:
+    """Scalable chained-Rosenbrock with spherical equality + bound
+    constraints (CUTEst-style scalable family)."""
+    def f(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1.0 - x[:-1]) ** 2)
+
+    def c(x):
+        return jnp.array([jnp.dot(x, x) - float(n)])
+
+    return nlp_from_functions(
+        f"chained_rosenbrock_{n}", f, c,
+        x0=np.full(n, 0.5),
+        x_lb=np.full(n, -5.0), x_ub=np.full(n, 5.0),
+        c_lb=[0.0], c_ub=[INF],
+    )
+
+
+def scalable_quadratic(n: int, m: int, seed: int = 0) -> NLP:
+    """Random strictly-convex QP-like NLP with m linear inequalities and
+    bounds; solution checkable against scipy."""
+    rng = np.random.default_rng(seed)
+    Q = rng.standard_normal((n, n))
+    Q = Q @ Q.T / n + np.eye(n)
+    q = rng.standard_normal(n)
+    A = rng.standard_normal((m, n)) / np.sqrt(n)
+    b = rng.uniform(-0.5, 0.5, m)
+    Qj, qj, Aj, bj = map(jnp.asarray, (Q, q, A, b))
+
+    def f(x):
+        return 0.5 * x @ (Qj @ x) + qj @ x
+
+    def c(x):
+        return Aj @ x - bj
+
+    return nlp_from_functions(
+        f"scalable_quadratic_{n}x{m}", f, c,
+        x0=np.zeros(n), x_lb=np.full(n, -2.0), x_ub=np.full(n, 2.0),
+        c_lb=np.full(m, -INF), c_ub=np.zeros(m),
+    )
