@@ -274,6 +274,120 @@ def rosenbrock_eq():
                               c_lb=[2.0], c_ub=[2.0])
 
 
+@register("hs011", f_star=-8.498464223)
+def hs011():
+    return nlp_from_functions(
+        "hs011", lambda x: (x[0] - 5.0) ** 2 + x[1] ** 2 - 25.0,
+        lambda x: jnp.array([-x[0] ** 2 + x[1]]),
+        x0=[4.9, 0.1], c_lb=[0.0], c_ub=[INF])
+
+
+@register("hs012", f_star=-30.0)
+def hs012():
+    return nlp_from_functions(
+        "hs012", lambda x: 0.5 * x[0] ** 2 + x[1] ** 2 - x[0] * x[1] - 7.0 * x[0] - 7.0 * x[1],
+        lambda x: jnp.array([25.0 - 4.0 * x[0] ** 2 - x[1] ** 2]),
+        x0=[0.0, 0.0], c_lb=[0.0], c_ub=[INF])
+
+
+@register("hs022", f_star=1.0)
+def hs022():
+    return nlp_from_functions(
+        "hs022", lambda x: (x[0] - 2.0) ** 2 + (x[1] - 1.0) ** 2,
+        lambda x: jnp.array([-x[0] - x[1] + 2.0, -x[0] ** 2 + x[1]]),
+        x0=[2.0, 2.0], c_lb=[0.0, 0.0], c_ub=[INF, INF])
+
+
+@register("hs024", f_star=-1.0)
+def hs024():
+    s3 = np.sqrt(3.0)
+    return nlp_from_functions(
+        "hs024", lambda x: ((x[0] - 3.0) ** 2 - 9.0) * x[1] ** 3 / (27.0 * s3),
+        lambda x: jnp.array([x[0] / s3 - x[1], x[0] + s3 * x[1],
+                             -x[0] - s3 * x[1] + 6.0]),
+        x0=[1.0, 0.5], x_lb=[0.0, 0.0], x_ub=[INF, INF],
+        c_lb=[0.0] * 3, c_ub=[INF] * 3)
+
+
+@register("hs028", f_star=0.0)
+def hs028():
+    return nlp_from_functions(
+        "hs028", lambda x: (x[0] + x[1]) ** 2 + (x[1] + x[2]) ** 2,
+        lambda x: jnp.array([x[0] + 2.0 * x[1] + 3.0 * x[2]]),
+        x0=[-4.0, 1.0, 1.0], c_lb=[1.0], c_ub=[1.0])
+
+
+@register("hs029", f_star=-16.0 * np.sqrt(2.0))
+def hs029():
+    return nlp_from_functions(
+        "hs029", lambda x: -x[0] * x[1] * x[2],
+        lambda x: jnp.array([-x[0] ** 2 - 2.0 * x[1] ** 2 - 4.0 * x[2] ** 2 + 48.0]),
+        x0=[1.0, 1.0, 1.0], c_lb=[0.0], c_ub=[INF])
+
+
+@register("hs030", f_star=1.0)
+def hs030():
+    return nlp_from_functions(
+        "hs030", lambda x: x[0] ** 2 + x[1] ** 2 + x[2] ** 2,
+        lambda x: jnp.array([x[0] ** 2 + x[1] ** 2 - 1.0]),
+        x0=[1.0, 1.0, 1.0], x_lb=[1.0, -10.0, -10.0], x_ub=[10.0] * 3,
+        c_lb=[0.0], c_ub=[INF])
+
+
+@register("hs033", f_star=np.sqrt(2.0) - 6.0, local_optima=(-4.0,))
+def hs033():
+    return nlp_from_functions(
+        "hs033", lambda x: (x[0] - 1.0) * (x[0] - 2.0) * (x[0] - 3.0) + x[2],
+        lambda x: jnp.array([x[2] ** 2 - x[1] ** 2 - x[0] ** 2,
+                             x[0] ** 2 + x[1] ** 2 + x[2] ** 2 - 4.0]),
+        x0=[0.0, 0.0, 3.0], x_lb=[0.0] * 3, x_ub=[INF, INF, 5.0],
+        c_lb=[0.0, 0.0], c_ub=[INF, INF])
+
+
+@register("hs036", f_star=-3300.0)
+def hs036():
+    return nlp_from_functions(
+        "hs036", lambda x: -x[0] * x[1] * x[2],
+        lambda x: jnp.array([72.0 - x[0] - 2.0 * x[1] - 2.0 * x[2]]),
+        x0=[10.0, 10.0, 10.0], x_lb=[0.0] * 3, x_ub=[20.0, 11.0, 42.0],
+        c_lb=[0.0], c_ub=[INF])
+
+
+@register("hs037", f_star=-3456.0)
+def hs037():
+    return nlp_from_functions(
+        "hs037", lambda x: -x[0] * x[1] * x[2],
+        lambda x: jnp.array([72.0 - x[0] - 2.0 * x[1] - 2.0 * x[2],
+                             x[0] + 2.0 * x[1] + 2.0 * x[2]]),
+        x0=[10.0, 10.0, 10.0], x_lb=[0.0] * 3, x_ub=[42.0] * 3,
+        c_lb=[0.0, 0.0], c_ub=[INF, INF])
+
+
+@register("hs043", f_star=-44.0)
+def hs043():
+    # Rosen-Suzuki
+    def f(x):
+        return (x[0] ** 2 + x[1] ** 2 + 2.0 * x[2] ** 2 + x[3] ** 2
+                - 5.0 * x[0] - 5.0 * x[1] - 21.0 * x[2] + 7.0 * x[3])
+
+    def c(x):
+        return jnp.array([
+            8.0 - x[0] ** 2 - x[1] ** 2 - x[2] ** 2 - x[3] ** 2 - x[0] + x[1] - x[2] + x[3],
+            10.0 - x[0] ** 2 - 2.0 * x[1] ** 2 - x[2] ** 2 - 2.0 * x[3] ** 2 + x[0] + x[3],
+            5.0 - 2.0 * x[0] ** 2 - x[1] ** 2 - x[2] ** 2 - 2.0 * x[0] + x[1] + x[3],
+        ])
+
+    return nlp_from_functions("hs043", f, c, x0=[0.0] * 4,
+                              c_lb=[0.0] * 3, c_ub=[INF] * 3)
+
+
+@register("hs045", f_star=1.0)
+def hs045():
+    return nlp_from_functions(
+        "hs045", lambda x: 2.0 - x[0] * x[1] * x[2] * x[3] * x[4] / 120.0,
+        None, x0=[2.0] * 5, x_lb=[0.0] * 5, x_ub=[1.0, 2.0, 3.0, 4.0, 5.0])
+
+
 def chained_rosenbrock(n: int) -> NLP:
     """Scalable chained-Rosenbrock with spherical equality + bound
     constraints (CUTEst-style scalable family)."""
