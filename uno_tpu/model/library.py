@@ -427,3 +427,7 @@ def scalable_quadratic(n: int, m: int, seed: int = 0) -> NLP:
         x0=np.zeros(n), x_lb=np.full(n, -2.0), x_ub=np.full(n, 2.0),
         c_lb=np.full(m, -INF), c_ub=np.zeros(m),
     )
+
+
+# Extended Hock-Schittkowski set (registers into the same registry).
+from uno_tpu.model import library_hs  # noqa: E402,F401  (isort: skip)

@@ -546,6 +546,19 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
         phase_n = jnp.where(back_ok, 0, s.phase)
         mu_n = jnp.where(back_ok, s.mu_backup, mu)
 
+        # multiplier safeguard on restoration exit: a singular KKT system
+        # (rank-deficient Jacobian + tiny dual regularization eps) can emit
+        # enormous dual steps that poison the Lagrangian Hessian for the rest
+        # of the run (observed: hs061 from x0=0).  The reference sketches an
+        # LSQ refresh here but leaves it commented out
+        # (PrimalDualInteriorPointMethod.cpp:183-191); we reset oversized
+        # multipliers instead — zero extra factorizations, and the next
+        # Newton solve re-estimates them from a sane Hessian.
+        if m:
+            y_over = jnp.max(jnp.abs(y_n), initial=0.0) > \
+                opts.least_square_multiplier_max_norm
+            y_n = jnp.where(back_ok & y_over, jnp.zeros_like(y_n), y_n)
+
         # apply (b): enter restoration at the (unchanged) current iterate
         mu_enter = jnp.maximum(mu, s.primal_feas)
         phase_n = jnp.where(to_feas, 1, phase_n)
