@@ -10,7 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from uno_tpu.linalg import ldlt_factor, ldlt_factor_blocked, ldlt_solve, ldlt_refine
+from uno_tpu.linalg import (ldlt_factor, ldlt_factor_blocked, ldlt_factor_unrolled,
+                            ldlt_solve, ldlt_refine)
 
 
 def fixed_system():
@@ -27,7 +28,7 @@ def fixed_system():
     return A, rhs
 
 
-@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked])
+@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked, ldlt_factor_unrolled])
 def test_factor_solve_fixed_system(factor):
     A, rhs = fixed_system()
     fac = factor(jnp.asarray(A))
@@ -38,14 +39,14 @@ def test_factor_solve_fixed_system(factor):
     assert np.allclose(L @ np.diag(d) @ L.T, A, atol=1e-8)
 
 
-@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked])
+@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked, ldlt_factor_unrolled])
 def test_inertia_saddle_point(factor):
     A, _ = fixed_system()
     fac = factor(jnp.asarray(A))
     assert (int(fac.num_pos), int(fac.num_neg), int(fac.num_zero)) == (2, 3, 0)
 
 
-@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked])
+@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked, ldlt_factor_unrolled])
 def test_inertia_definite(factor):
     rng = np.random.default_rng(0)
     B = rng.standard_normal((12, 12))
@@ -56,7 +57,7 @@ def test_inertia_definite(factor):
     assert (int(fac.num_pos), int(fac.num_neg), int(fac.num_zero)) == (0, 12, 0)
 
 
-@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked])
+@pytest.mark.parametrize("factor", [ldlt_factor, ldlt_factor_blocked, ldlt_factor_unrolled])
 def test_singular_detection(factor):
     # rank-deficient matrix: diag(1, 1, 0) in a rotated basis would pivot to
     # zero; use a plainly singular arrowhead

@@ -19,8 +19,27 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from jax import lax
 
 BIG = jnp.inf
+
+
+def _sort_pairs(h, phi):
+    """Sort (h, phi) pairs by h ascending, phi carried along.
+
+    Uses variadic `lax.sort` instead of argsort + fancy indexing: under vmap
+    the latter lowers to per-instance gathers, which are the single slowest
+    HLO on TPU for batched small arrays (measured ~2 ms per gather of a
+    (batch, capacity) array — the dominant cost of the whole batched IPM
+    before this rewrite)."""
+    return lax.sort((h, phi), dimension=-1, is_stable=True, num_keys=1)
+
+
+def _at_index(arr, idx):
+    """arr[idx] for a traced scalar idx without a gather: one-hot contraction
+    over the (tiny, static) capacity axis — VPU-friendly under vmap."""
+    iota = lax.iota(jnp.int32, arr.shape[-1])
+    return jnp.sum(jnp.where(iota == idx, arr, 0.0), axis=-1)
 
 
 class FilterState(NamedTuple):
@@ -54,7 +73,7 @@ def filter_acceptable(f: FilterState, h_t, phi_t, beta, gamma):
     ub_ok = h_t < beta * f.ub
     suff = h_t < beta * f.h            # suffix of True (h sorted ascending)
     position = jnp.sum(~suff)          # empty slots have h=+inf -> True
-    phi_prev = f.phi[jnp.maximum(position - 1, 0)]
+    phi_prev = _at_index(f.phi, jnp.maximum(position - 1, 0))
     dominated_ok = (position == 0) | (phi_t <= phi_prev - gamma * h_t)
     return ub_ok & dominated_ok
 
@@ -77,9 +96,7 @@ def filter_add(f: FilterState, h_c, phi_c, beta) -> FilterState:
 
     # if full after removal: shrink upper bound and drop the largest-h entry
     full = n >= cap
-    order = jnp.argsort(h)
-    h = h[order]
-    phi = phi[order]
+    h, phi = _sort_pairs(h, phi)   # compact: masked slots (+inf) to the back
     largest = jnp.where(full, jnp.maximum(f.ub, h[cap - 1]), -BIG)
     ub = jnp.where(full, beta * largest, f.ub)
     h = jnp.where(full, h.at[cap - 1].set(BIG), h)
@@ -88,8 +105,8 @@ def filter_add(f: FilterState, h_c, phi_c, beta) -> FilterState:
     # insert the new entry in the (now guaranteed) free last slot, re-sort
     h = h.at[cap - 1].set(h_c)
     phi = phi.at[cap - 1].set(phi_c)
-    order = jnp.argsort(h)
-    return FilterState(h[order], phi[order], ub)
+    h, phi = _sort_pairs(h, phi)
+    return FilterState(h, phi, ub)
 
 
 def armijo_sufficient_decrease(predicted, actual, fraction, tolerance):

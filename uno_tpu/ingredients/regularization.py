@@ -21,15 +21,18 @@ from typing import Callable, NamedTuple
 import jax.numpy as jnp
 from jax import lax
 
-from uno_tpu.linalg.ldlt import LDLT, ldlt_factor, ldlt_factor_blocked
+from uno_tpu.linalg.ldlt import (LDLT, ldlt_factor, ldlt_factor_blocked,
+                                 ldlt_factor_unrolled)
 
 
 def pick_factorizer(dim: int, block: int):
-    """Small KKT systems (CUTEst-class) skip panel blocking: the unblocked
-    column loop has `dim` sequential steps with no padding, which beats a
-    padded 'block'-wide panel; large systems use the MXU-blocked variant
-    with the panel width rounded to the matrix size."""
-    if dim <= 24:
+    """Small KKT systems (CUTEst-class) are fully unrolled: static slices
+    only, so vmapped batches compile to fused elementwise kernels with no
+    dynamic-update-slice traffic.  Mid-size systems use the fori_loop column
+    variant; large systems the MXU-blocked panel variant."""
+    if dim <= 32:
+        return ldlt_factor_unrolled
+    if dim <= 64:
         return ldlt_factor
     b = min(block, -(-dim // 8) * 8)
     return lambda A: ldlt_factor_blocked(A, block=b)

@@ -87,6 +87,34 @@ def ldlt_factor(A: jnp.ndarray, zero_pivot_rtol: float = 1e-32) -> LDLT:
     return LDLT(L, d, pos, neg, zero)
 
 
+@partial(jax.jit, static_argnames=("zero_pivot_rtol",))
+def ldlt_factor_unrolled(A: jnp.ndarray, zero_pivot_rtol: float = 1e-32) -> LDLT:
+    """Fully unrolled LDL^T on the shrinking trailing submatrix.
+
+    For small KKT dimensions (CUTEst-class, n <= ~32) this beats the
+    fori_loop variant under vmap: every slice is STATIC, so XLA emits fused
+    elementwise kernels instead of per-column dynamic-update-slices (measured
+    ~81 ms of the batched IPM solve before this rewrite), and the trailing
+    update shrinks with j (half the flops of the full-matrix rank-1 form).
+    """
+    n = A.shape[-1]
+    M = A
+    cols = []
+    ds = []
+    for j in range(n):
+        dj = M[0, 0]
+        l = M[1:, 0] / _safe(dj)                     # (n-j-1,)
+        ds.append(dj)
+        cols.append(l)
+        M = M[1:, 1:] - dj * (l[:, None] * l[None, :])
+    d = jnp.stack(ds)
+    # L columns: [zeros(j+1); l_j], stacked along the last axis
+    Lcols = [jnp.pad(l, (n - l.shape[0], 0)) for l in cols]
+    L = jnp.stack(Lcols, axis=-1) + jnp.eye(n, dtype=A.dtype)
+    pos, neg, zero = _inertia(d, zero_pivot_rtol)
+    return LDLT(L, d, pos, neg, zero)
+
+
 @partial(jax.jit, static_argnames=("block", "zero_pivot_rtol"))
 def ldlt_factor_blocked(A: jnp.ndarray, block: int = 32,
                         zero_pivot_rtol: float = 1e-32) -> LDLT:
