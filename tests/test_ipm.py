@@ -126,3 +126,23 @@ def test_larger_scale_quadratic_vs_scipy():
                                "fun": lambda x: -np.asarray(nlp.constraints(jnp.asarray(x)))}],
                  options={"ftol": 1e-12, "maxiter": 500})
     assert abs(res.objective - r.fun) < 1e-5 * max(1, abs(r.fun))
+
+
+def test_hessian_model_identity_ipm():
+    """Hessian models (reference hessian_models/: exact|identity|zero) on the
+    IPM path: a convex QP converges even without exact curvature."""
+    nlp = get_problem("hs021")
+    res = uno_tpu.solve(nlp, preset="ipopt", hessian_model="identity",
+                        max_iterations=500)
+    assert res.success, f"identity: {res.status}"
+    assert abs(res.objective - (-99.96)) < 1e-2
+
+
+def test_hessian_model_zero_ipm_progresses():
+    """zero Hessian + barrier = SLP-like creep (curvature only from the
+    regularization δI); like the reference, it progresses but is meant for
+    the TR/SLP path — assert steady progress, not convergence."""
+    nlp = get_problem("hs021")
+    res = uno_tpu.solve(nlp, preset="ipopt", hessian_model="zero",
+                        max_iterations=300)
+    assert abs(res.objective - (-99.96)) < 0.2

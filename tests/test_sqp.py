@@ -72,3 +72,13 @@ def test_filtersqp_multipliers_at_solution():
 def test_byrd_penalty_steering_reaches_feasibility():
     res = check("polak5", "byrd", max_iterations=200)
     assert res.primal_feasibility <= 1e-6
+
+
+def test_hessian_model_identity_sqp():
+    """identity Hessian on the SQP path (reference IdentityHessian.cpp)."""
+    import uno_tpu
+    from uno_tpu.model.library import get_problem
+    res = uno_tpu.solve(get_problem("hs021"), preset="filtersqp",
+                        hessian_model="identity", max_iterations=500)
+    assert res.success
+    assert abs(res.objective - (-99.96)) < 1e-2

@@ -347,7 +347,14 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
         g = prob.objective_gradient(s.x, s.params)
         c = prob.constraints(s.x, s.params)
         J = prob.constraint_jacobian(s.x, s.params)
-        H_lag = prob.lagrangian_hessian(s.x, y_a, sigma, s.params)
+        # Hessian model (reference hessian_models/: exact | identity | zero,
+        # HessianModelFactory.cpp); the option is static so this folds at trace
+        if opts.hessian_model == "identity":
+            H_lag = jnp.eye(n, dtype=s.x.dtype)
+        elif opts.hessian_model == "zero":
+            H_lag = jnp.zeros((n, n), dtype=s.x.dtype)
+        else:
+            H_lag = prob.lagrangian_hessian(s.x, y_a, sigma, s.params)
 
         # proximal term (feasibility phase only): sqrt(mu)*diag(scaling^2)
         prox_coef = jnp.sqrt(mu)

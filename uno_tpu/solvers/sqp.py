@@ -413,10 +413,14 @@ class SQPWorkspace:
             J = nlp.constraint_jacobian(xj)
             return f, c, g, J
 
+        identity_hessian = opts.hessian_model == "identity"
+
         @jax.jit
         def hessian(x, y, sigma):
             if zero_hessian:
                 return jnp.zeros((self.n, self.n))
+            if identity_hessian:
+                return jnp.eye(self.n)
             return nlp.lagrangian_hessian(jnp.asarray(x), jnp.asarray(y), sigma)
 
         @jax.jit
