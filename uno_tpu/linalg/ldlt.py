@@ -182,7 +182,23 @@ def ldlt_factor_blocked(A: jnp.ndarray, block: int = 32,
 
 @jax.jit
 def ldlt_solve(fac: LDLT, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve A x = rhs given A = L D L^T.  rhs may be (n,) or (n, k)."""
+    """Solve A x = rhs given A = L D L^T.  rhs may be (n,) or (n, k).
+
+    Small systems (n <= 32, the batched CUTEst-class hot path) use fully
+    unrolled forward/backward substitution: XLA's TriangularSolve on TPU
+    lowers to a dynamic-slice loop that serializes badly under vmap, while
+    the unrolled form is n^2 static-slice FMAs that fuse into a handful of
+    VPU kernels across the batch lanes."""
+    n = rhs.shape[0]
+    if n <= 32 and rhs.ndim == 1:
+        z = jnp.zeros_like(rhs)
+        for i in range(n):
+            z = z.at[i].set(rhs[i] - jnp.dot(fac.L[i], z))
+        z = z / _safe(fac.d)
+        x = jnp.zeros_like(rhs)
+        for i in range(n - 1, -1, -1):
+            x = x.at[i].set(z[i] - jnp.dot(fac.L[:, i], x))
+        return x
     vec = rhs.ndim == 1
     b = rhs[:, None] if vec else rhs
     z = jax.scipy.linalg.solve_triangular(fac.L, b, lower=True, unit_diagonal=True)
