@@ -146,3 +146,23 @@ def test_hessian_model_zero_ipm_progresses():
     res = uno_tpu.solve(nlp, preset="ipopt", hessian_model="zero",
                         max_iterations=300)
     assert abs(res.objective - (-99.96)) < 0.2
+
+
+@pytest.mark.parametrize("gs", ["fletcher_filter_method", "funnel_method",
+                                "l1_merit"])
+def test_globalization_strategies_ipm(gs):
+    """Any globalization strategy combines with the IPM (reference
+    GlobalizationStrategyFactory.cpp; only IPM+TR is excluded)."""
+    for name, f_star in [("hs015", 306.5), ("hs071", 17.0140173)]:
+        res = uno_tpu.solve(get_problem(name), preset="ipopt",
+                            globalization_strategy=gs)
+        assert res.success, f"{gs}/{name}: {res.status}"
+        assert abs(res.objective - f_star) < 1e-3 * max(1, abs(f_star))
+
+
+def test_nonmonotone_filter_ipm():
+    """filter_type=nonmonotone on the IPM path (NonmonotoneFilter.cpp)."""
+    res = uno_tpu.solve(get_problem("hs015"), preset="ipopt",
+                        filter_type="nonmonotone")
+    assert res.success
+    assert abs(res.objective - 306.5) < 1e-3

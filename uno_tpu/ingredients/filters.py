@@ -216,3 +216,135 @@ def l1_merit_acceptable(h_cur, obj_cur, aux_cur, h_tri, obj_tri, aux_tri,
     return armijo_sufficient_decrease(predicted, actual,
                                       opts.armijo_decrease_fraction,
                                       opts.armijo_tolerance)
+
+
+# --------------------------------------------------------------------------
+# nonmonotone filter (reference NonmonotoneFilter.cpp) — vectorized over a
+# fixed-capacity INSERTION-ordered front (the nonmonotone filter is not
+# sorted: eviction is oldest-first and the nonmonotone Armijo test looks at
+# the most recent entries)
+# --------------------------------------------------------------------------
+
+def nm_count_dominated(f: FilterState, h_t, phi_t, beta, gamma):
+    """NonmonotoneFilter::compute_number_dominated_entries (.cpp:49-63):
+    entry i counts against the trial if neither the objective nor the
+    infeasibility sufficient-reduction margin holds."""
+    valid = jnp.isfinite(f.h)
+    obj_suff = phi_t <= f.phi - gamma * h_t
+    inf_suff = h_t < beta * f.h
+    dom = (~obj_suff & ~inf_suff) | ((phi_t >= f.phi - gamma * h_t)
+                                     & (h_t > beta * f.h))
+    return jnp.sum(dom & valid)
+
+
+def nm_filter_acceptable(f: FilterState, h_t, phi_t, beta, gamma, max_dom):
+    """NonmonotoneFilter::acceptable: upper bound, then tolerate up to
+    max_dom dominating entries."""
+    ub_ok = h_t < beta * f.ub
+    return ub_ok & (nm_count_dominated(f, h_t, phi_t, beta, gamma) <= max_dom)
+
+
+def nm_filter_acceptable_wrt(f: FilterState, h_c, phi_c, h_t, phi_t,
+                             beta, gamma, max_dom):
+    """NonmonotoneFilter::acceptable_wrt_current_iterate: the current point
+    counts as one more potential dominator."""
+    count = nm_count_dominated(f, h_t, phi_t, beta, gamma)
+    cur_dom = (~(phi_t <= phi_c - gamma * h_t)) & (h_t > beta * h_c)
+    return (count + cur_dom) <= max_dom
+
+
+def nm_filter_add(f: FilterState, h_c, phi_c, max_dom) -> FilterState:
+    """NonmonotoneFilter::add (.cpp:15-47): drop entries dominated by more
+    than max_dom others (the new point included), evict the second-oldest
+    entry when full, append at the end (insertion order kept)."""
+    cap = f.h.shape[0]
+    valid = jnp.isfinite(f.h)
+    # pairwise dominator counts among entries + the incoming point
+    dom_pair = (f.phi[:, None] > f.phi[None, :]) & (f.h[:, None] > f.h[None, :])
+    ndom = jnp.sum(dom_pair & valid[None, :], axis=1) \
+        + ((f.phi > phi_c) & (f.h > h_c))
+    keep = valid & (ndom <= max_dom)
+    # compact preserving insertion order: stable sort on the removal flag
+    key = (~keep).astype(jnp.int32)
+    h = jnp.where(keep, f.h, BIG)
+    phi = jnp.where(keep, f.phi, BIG)
+    _, h, phi = lax.sort((key, h, phi), dimension=-1, is_stable=True, num_keys=1)
+    n = jnp.sum(keep)
+
+    # full -> evict entry 1 (left_shift(1, 1): keeps the oldest, drops next)
+    full = n >= cap
+    h_shift = jnp.concatenate([h[:1], h[2:], jnp.full((1,), BIG, h.dtype)])
+    phi_shift = jnp.concatenate([phi[:1], phi[2:], jnp.full((1,), BIG, phi.dtype)])
+    h = jnp.where(full, h_shift, h)
+    phi = jnp.where(full, phi_shift, phi)
+    n = jnp.where(full, n - 1, n)
+
+    iota = lax.iota(jnp.int32, cap)
+    h = jnp.where(iota == n, h_c, h)
+    phi = jnp.where(iota == n, phi_c, phi)
+    return FilterState(h, phi, f.ub)
+
+
+def nm_actual_objective_reduction(f: FilterState, merit_cur, h_cur, merit_tri,
+                                  gamma, max_dom):
+    """NonmonotoneFilter::compute_actual_objective_reduction: nonmonotone
+    actual reduction against the max 'dash objective' over the most recent
+    max_dom entries (the reference indexes one past the newest entry, which
+    reads an empty slot; we take the newest max_dom VALID entries)."""
+    cap = f.h.shape[0]
+    valid = jnp.isfinite(f.h)
+    n = jnp.sum(valid)
+    iota = lax.iota(jnp.int32, cap)
+    recent = valid & (iota >= n - max_dom)
+    gam = jnp.where(h_cur < f.h, 1.0 / gamma, gamma)
+    dash = f.phi + gam * (f.h - h_cur)
+    max_obj = jnp.maximum(merit_cur,
+                          jnp.max(jnp.where(recent, dash, -BIG), initial=-BIG))
+    return max_obj - merit_tri
+
+
+def nm_smallest_infeasibility(f: FilterState):
+    return jnp.min(f.h, initial=BIG)
+
+
+# --------------------------------------------------------------------------
+# funnel (reference FunnelMethod.cpp / Funnel.cpp) — width as a carried scalar
+# --------------------------------------------------------------------------
+
+def funnel_update_width(width, h_cur, h_tri, margin, kappa, strategy: int):
+    """Funnel::update (.cpp:33-55), strategy in {1,2,3} (static)."""
+    if strategy == 1:
+        return jnp.where(h_tri <= h_cur,
+                         jnp.maximum(margin * width,
+                                     kappa * h_cur + (1.0 - kappa) * h_tri),
+                         margin * width)
+    if strategy == 2:
+        return kappa * width + (1.0 - kappa) * h_tri
+    return margin * width
+
+
+class FunnelDecisionLazy(NamedTuple):
+    accept: jnp.ndarray
+    h_type: jnp.ndarray   # caller applies funnel_update_width iff set
+
+
+def funnel_is_acceptable(width, h_cur, merit_cur, h_tri, merit_tri,
+                         merit_pred, opts, roundoff_protect_scale):
+    """FunnelMethod::is_regular_iterate_acceptable (.cpp:33-95).  The width
+    update on an h-type acceptance is deferred to the caller (accepted trial
+    ends the line search, so at most one update applies per iteration)."""
+    in_funnel = h_tri <= width
+    ok_wrt = (h_tri < opts.funnel_beta * h_cur) | \
+        (merit_tri <= merit_cur - opts.funnel_gamma * h_tri)
+    if not opts.funnel_require_acceptance_wrt_current_iterate:
+        ok_wrt = jnp.asarray(True)
+    switching = (merit_pred > 0.0) & switching_condition(
+        merit_pred, h_cur, opts.switching_delta,
+        opts.switching_infeasibility_exponent)
+    sufficient = armijo_sufficient_decrease(
+        merit_pred, merit_cur - merit_tri + roundoff_protect_scale,
+        opts.armijo_decrease_fraction, opts.armijo_tolerance)
+    f_accept = switching & sufficient
+    h_accept = ~switching & (h_tri <= opts.funnel_beta * width)
+    accept = in_funnel & ok_wrt & (f_accept | h_accept)
+    return FunnelDecisionLazy(accept, accept & h_accept & ~switching)

@@ -101,6 +101,7 @@ class IPMState(NamedTuple):
     subproblem_changed: jnp.ndarray
     # globalization
     filter: flt.FilterState
+    gs_scalar: jnp.ndarray       # funnel width | merit smallest-known h | unused
     x_ref: jnp.ndarray           # proximal center (restoration)
     h_ref: jnp.ndarray           # reference infeasibility at phase switch
     h_initial: jnp.ndarray
@@ -310,6 +311,45 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
         aux = aux_measure(x, p, q, mu, is_feas)
         return h, f_val, aux
 
+    # ---- globalization strategy dispatch (static at build time) ----------
+    # reference: GlobalizationStrategyFactory.cpp — l1_merit |
+    # fletcher_filter_method | waechter_filter_method | funnel_method, each
+    # combinable with the IPM (the reference only excludes IPM+TR); filters
+    # come in standard and nonmonotone variants (FilterFactory).
+    gs = opts.globalization_strategy
+    if gs not in ("l1_merit", "fletcher_filter_method",
+                  "waechter_filter_method", "funnel_method"):
+        raise ValueError(f"unknown globalization strategy {gs!r}")
+    nonmono = opts.filter_type == "nonmonotone"
+    max_dom = opts.nonmonotone_filter_number_dominated_entries
+
+    def _flt_acceptable(f, h_t, phi_t):
+        if nonmono:
+            return flt.nm_filter_acceptable(f, h_t, phi_t, opts.filter_beta,
+                                            opts.filter_gamma, max_dom)
+        return flt.filter_acceptable(f, h_t, phi_t, opts.filter_beta,
+                                     opts.filter_gamma)
+
+    def _flt_acceptable_wrt(f, h_c, phi_c, h_t, phi_t):
+        if nonmono:
+            return flt.nm_filter_acceptable_wrt(f, h_c, phi_c, h_t, phi_t,
+                                                opts.filter_beta,
+                                                opts.filter_gamma, max_dom)
+        return flt.filter_acceptable_wrt(h_c, phi_c, h_t, phi_t,
+                                         opts.filter_beta, opts.filter_gamma)
+
+    def _flt_add(f, h_c, phi_c):
+        if nonmono:
+            return flt.nm_filter_add(f, h_c, phi_c, max_dom)
+        return flt.filter_add(f, h_c, phi_c, opts.filter_beta)
+
+    def _actual_reduction(f, merit_cur, h_cur, merit_tri, roundoff):
+        if nonmono:
+            return flt.nm_actual_objective_reduction(
+                f, merit_cur, h_cur, merit_tri, opts.filter_gamma, max_dom) \
+                + roundoff
+        return merit_cur - merit_tri + roundoff
+
     def step(s: IPMState) -> IPMState:
         is_feas = s.phase == 1
         sigma = jnp.where(is_feas, 0.0, 1.0)
@@ -477,16 +517,49 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
                 bdd = bdd + jnp.where(is_feas, el_dd, 0.0)
             pred_aux = alpha * (-bdd)
 
-            # acceptance
+            # acceptance: strategy-specific regular test; the deferred
+            # `augment` flag means "filter add of the current point" for
+            # filter methods and "h-type funnel width update" for the funnel
             merit_t = f_t + aux_t
-            dec = flt.waechter_is_acceptable(
-                filt, h_cur, merit_cur, h_t, merit_t,
-                pred_obj + pred_aux, s.h_initial, opts, roundoff)
+            merit_pred = pred_obj + pred_aux
+            merit_actual = _actual_reduction(filt, merit_cur, h_cur, merit_t,
+                                             roundoff)
+            switching = (merit_pred > 0.0) & flt.switching_condition(
+                merit_pred, h_cur, opts.switching_delta,
+                opts.switching_infeasibility_exponent)
+            sufficient = flt.armijo_sufficient_decrease(
+                merit_pred, merit_actual, opts.armijo_decrease_fraction,
+                opts.armijo_tolerance)
+            if gs == "waechter_filter_method":
+                # WaechterFilterMethod.cpp:25-90
+                filter_ok = _flt_acceptable(filt, h_t, merit_t)
+                small_inf = h_cur <= 1e-4 * jnp.maximum(1.0, s.h_initial)
+                f_type = small_inf & switching
+                accept_h = (~f_type) & _flt_acceptable_wrt(
+                    filt, h_cur, merit_cur, h_t, merit_t)
+                accept_reg = filter_ok & ((f_type & sufficient) | accept_h)
+                augment_t = accept_reg & (~switching | ~sufficient)
+            elif gs == "fletcher_filter_method":
+                # FletcherFilterMethod.cpp:15-66
+                pair_ok = _flt_acceptable(filt, h_t, merit_t) & \
+                    _flt_acceptable_wrt(filt, h_cur, merit_cur, h_t, merit_t)
+                accept_reg = pair_ok & jnp.where(switching, sufficient, True)
+                augment_t = accept_reg & ~switching
+            elif gs == "funnel_method":
+                dec = flt.funnel_is_acceptable(
+                    s.gs_scalar, h_cur, merit_cur, h_t, merit_t,
+                    merit_pred, opts, roundoff)
+                accept_reg, augment_t = dec.accept, dec.h_type
+            else:  # l1_merit (l1MeritFunction.cpp); sigma = 1 in this phase
+                accept_reg = flt.l1_merit_acceptable(
+                    h_cur, f_cur, aux_cur, h_t, f_t, aux_t,
+                    pred_h, pred_obj, pred_aux, opts, roundoff)
+                augment_t = jnp.asarray(False)
             accept_feas = flt.feasibility_armijo_acceptable(
                 h_cur, aux_cur, h_t, aux_t, pred_h, pred_aux, opts)
-            accept = jnp.where(is_feas, accept_feas, dec.accept) & finite
+            accept = jnp.where(is_feas, accept_feas, accept_reg) & finite
             accept = accept | (dir_norm == 0.0)
-            augment = dec.augment & ~is_feas
+            augment = augment_t & ~is_feas
             trial = (x_t, y_t, zl_t, zu_t, p_t, q_t, zp_t, zq_t, h_t, f_t, aux_t)
             return accept, trial, augment
 
@@ -509,16 +582,27 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
                   jnp.asarray(0), trial0, jnp.asarray(False))
         alpha, accepted, ls_failed, ls_iters, trial, augment = lax.while_loop(
             ls_cond, ls_body, carry0)
-        # deferred Waechter filter augmentation (once, not per trial)
-        filt_aug = flt.filter_add(filt, h_cur, merit_cur, opts.filter_beta)
-        filt = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(augment & accepted, b, a), filt, filt_aug)
         # a failed KKT solve invalidates the direction entirely
         accepted = accepted & ~kkt_failed
         ls_failed = ls_failed | kkt_failed | \
             ((~accepted) & ~kkt_failed & (ls_iters >= opts.max_line_search_iterations))
 
         (x_t, yv_t, zl_t, zu_t, p_t, q_t, zp_t, zq_t, h_t, f_t, aux_t) = trial
+
+        # deferred globalization state update (once, not per LS trial)
+        gs_scalar = s.gs_scalar
+        if gs in ("waechter_filter_method", "fletcher_filter_method"):
+            filt_aug = _flt_add(filt, h_cur, merit_cur)
+            filt = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(augment & accepted, b, a), filt, filt_aug)
+        elif gs == "funnel_method":
+            w_new = flt.funnel_update_width(
+                s.gs_scalar, h_cur, h_t, opts.funnel_beta, opts.funnel_kappa,
+                opts.funnel_update_strategy)
+            gs_scalar = jnp.where(augment & accepted, w_new, gs_scalar)
+        else:  # l1_merit: track smallest known infeasibility (.cpp:39)
+            gs_scalar = jnp.where(accepted & ~is_feas,
+                                  jnp.minimum(gs_scalar, h_t), gs_scalar)
 
         # -- commit the trial iterate (or keep current on failure) ----------
         x_n = jnp.where(accepted, x_t, s.x)
@@ -537,19 +621,40 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
         aux_n = jnp.where(accepted, aux_t, aux_cur)
 
         # -- phase transitions ----------------------------------------------
-        # (a) restoration -> optimality (Waechter is_infeasibility_sufficiently_reduced)
+        # (a) restoration -> optimality: strategy-specific
+        # is_infeasibility_sufficiently_reduced (GlobalizationStrategy.hpp:27)
         merit_n = f_n + aux_n
-        back_ok = accepted & is_feas & \
-            (h_n <= opts.filter_sufficient_infeasibility_decrease_factor * s.h_ref) & \
-            flt.filter_acceptable(filt, h_n, merit_n, opts.filter_beta, opts.filter_gamma)
+        if gs == "waechter_filter_method":
+            # WaechterFilterMethod.cpp:85-88
+            inf_reduced = \
+                (h_n <= opts.filter_sufficient_infeasibility_decrease_factor * s.h_ref) & \
+                _flt_acceptable(filt, h_n, merit_n)
+        elif gs == "fletcher_filter_method":
+            # FletcherFilterMethod.cpp:66-69: beat the filter's smallest h
+            smallest_h = jnp.min(filt.h, initial=jnp.inf)
+            inf_reduced = h_n < opts.filter_beta * smallest_h
+        elif gs == "funnel_method":
+            # FunnelMethod.cpp:97-100: in funnel + sufficient decrease
+            inf_reduced = (h_n <= gs_scalar) & \
+                (h_n <= opts.funnel_beta * s.h_ref)
+        else:  # l1_merit (.cpp:48-52): beat best-known infeasibility
+            inf_reduced = h_n <= 0.9 * gs_scalar
+        back_ok = accepted & is_feas & inf_reduced
         # (b) optimality -> restoration: LS failure or unstable KKT
         to_feas = ls_failed & ~is_feas & ws.constrained
         hard_fail = ls_failed & (is_feas | (not ws.constrained))
 
-        # apply (a): add current progress to the filter, restore mu
-        filt_a = flt.filter_add(filt, h_cur, merit_cur, opts.filter_beta)
-        filt = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(back_ok, b, a), filt, filt_a)
+        # apply (a): notify_switch_to_optimality — filter methods add the
+        # current progress (FilterMethod.cpp:31-39); funnel shrinks its width
+        # (Funnel::update_restoration); merit does nothing. Then restore mu.
+        if gs in ("waechter_filter_method", "fletcher_filter_method"):
+            filt_a = _flt_add(filt, h_cur, merit_cur)
+            filt = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(back_ok, b, a), filt, filt_a)
+        elif gs == "funnel_method":
+            w_rest = opts.funnel_kappa * gs_scalar \
+                + (1.0 - opts.funnel_kappa) * h_cur
+            gs_scalar = jnp.where(back_ok, w_rest, gs_scalar)
         phase_n = jnp.where(back_ok, 0, s.phase)
         mu_n = jnp.where(back_ok, s.mu_backup, mu)
 
@@ -582,9 +687,12 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
             zq_n = jnp.where(to_feas, jnp.full((m,), nu), zq_n)
         zl_f_n = jnp.where(to_feas, jnp.where(hlb, opts.barrier_default_multiplier, 0.0), zl_f_n)
         zu_f_n = jnp.where(to_feas, jnp.where(hub, -opts.barrier_default_multiplier, 0.0), zu_f_n)
-        filt_b = flt.filter_add(filt, h_cur, merit_cur, opts.filter_beta)
-        filt = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(to_feas, b, a), filt, filt_b)
+        # notify_switch_to_feasibility: filter methods record the current
+        # point; funnel and merit do nothing
+        if gs in ("waechter_filter_method", "fletcher_filter_method"):
+            filt_b = _flt_add(filt, h_cur, merit_cur)
+            filt = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(to_feas, b, a), filt, filt_b)
 
         changed_next = back_ok | to_feas
         sigma_next = jnp.where(phase_n == 1, 0.0, 1.0)
@@ -624,7 +732,8 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
             phase=phase_n,
             skip_mu_update=to_feas,
             subproblem_changed=changed_next,
-            filter=filt, x_ref=x_ref_n, h_ref=h_ref_n, h_initial=s.h_initial,
+            filter=filt, gs_scalar=gs_scalar,
+            x_ref=x_ref_n, h_ref=h_ref_n, h_initial=s.h_initial,
             h_cur=h_n, f_cur=f_n, aux_cur=aux_n,
             stat=res["stat"], stat_scaling=res["stat_scaling"],
             compl=res["compl"], compl_scaling=res["compl_scaling"],
@@ -701,6 +810,15 @@ def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options,
     # FilterMethod::initialize: ub = max(filter_ubd, filter_fact * h0)
     filt = flt.filter_set_ub(filt, jnp.maximum(opts.filter_ubd, opts.filter_fact * h0))
 
+    # strategy scalar: funnel width (FunnelMethod::initialize) or the merit
+    # function's smallest known infeasibility (starts at +inf)
+    if opts.globalization_strategy == "funnel_method":
+        gs_scalar = jnp.maximum(opts.funnel_ubd, opts.funnel_fact * h0)
+    elif opts.globalization_strategy == "l1_merit":
+        gs_scalar = jnp.asarray(jnp.inf)
+    else:
+        gs_scalar = jnp.asarray(0.0)
+
     return IPMState(
         x=x, y=y, zl=zl, zu=zu,
         y_f=jnp.zeros((m,)), zl_f=jnp.zeros((n,)), zu_f=jnp.zeros((n,)),
@@ -708,7 +826,7 @@ def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options,
         mu=mu0, mu_backup=mu0, prev_delta=jnp.asarray(0.0),
         phase=jnp.asarray(0),
         skip_mu_update=jnp.asarray(False), subproblem_changed=jnp.asarray(False),
-        filter=filt, x_ref=x, h_ref=h0, h_initial=h0,
+        filter=filt, gs_scalar=gs_scalar, x_ref=x, h_ref=h0, h_initial=h0,
         h_cur=h0, f_cur=f0, aux_cur=aux0,
         stat=res["stat"], stat_scaling=res["stat_scaling"],
         compl=res["compl"], compl_scaling=res["compl_scaling"],
