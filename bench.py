@@ -38,7 +38,8 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     kkt_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
-    opts = preset("ipopt", scale_functions=False, kkt_dtype=kkt_dtype)
+    opts = preset("ipopt", scale_functions=False, kkt_dtype=kkt_dtype,
+                  LS_batch_candidates=4)
     nlp, x0, params = _flagship(B)
 
     prob, run = build_batch_ipm(nlp, opts, params_example=jnp.asarray(params[0]))

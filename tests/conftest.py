@@ -16,7 +16,11 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the end-to-end preset sweeps re-jit one
 # solver per problem shape; caching cuts repeat suite runs from ~15 min to
-# seconds of compile time.
+# seconds of compile time.  The cache dir is CPU-specific and distinct from
+# the TPU bench cache (.jax_cache): cache entries include XLA:CPU AOT code
+# compiled on the machine that populated them — the remote TPU host has
+# different CPU features, and loading its AOT results here SIGILLs
+# (cpu_aot_loader "machine type doesn't match" -> fatal signal mid-suite).
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -25,15 +25,26 @@ from uno_tpu.linalg.ldlt import (LDLT, ldlt_factor, ldlt_factor_blocked,
                                  ldlt_factor_unrolled)
 
 
-def pick_factorizer(dim: int, block: int):
+def pick_factorizer(dim: int, block: int, ldlt_backend: str = "auto"):
     """Small KKT systems (CUTEst-class) are fully unrolled: static slices
     only, so vmapped batches compile to fused elementwise kernels with no
     dynamic-update-slice traffic.  Mid-size systems use the fori_loop column
-    variant; large systems the MXU-blocked panel variant."""
+    variant; large systems the MXU-blocked panel variant — on TPU, the
+    VMEM-resident Pallas kernel (linalg/pallas_ldlt.py, ~1.6-1.9x the XLA
+    blocked path at n=512-1024)."""
     if dim <= 32:
         return ldlt_factor_unrolled
     if dim <= 64:
         return ldlt_factor
+    import jax as _jax
+    use_pallas = ldlt_backend == "pallas" or (
+        ldlt_backend == "auto" and 256 <= dim
+        and _jax.default_backend() == "tpu")
+    if use_pallas:
+        from uno_tpu.linalg.pallas_ldlt import (PALLAS_MAX_DIM,
+                                                ldlt_factor_pallas)
+        if dim <= PALLAS_MAX_DIM:
+            return lambda A: ldlt_factor_pallas(A)
     b = min(block, -(-dim // 8) * 8)
     return lambda A: ldlt_factor_blocked(A, block=b)
 
@@ -60,7 +71,8 @@ def regularize_and_factor(
     """assemble(delta, eps) must build the full augmented matrix with the
     regularization applied (+delta on primal diagonal slots, -eps on dual)."""
 
-    factorize = pick_factorizer(expected_pos + expected_neg, block)
+    factorize = pick_factorizer(expected_pos + expected_neg, block,
+                                getattr(opts, "ldlt_backend", "auto"))
     # mixed precision (MA57-style, MA57Solver.cpp:137-145): factor in f32 at
     # native TPU speed, refine the solve in f64 (kkt_dtype option)
     factor_dtype = jnp.dtype(getattr(opts, "kkt_dtype", "float64"))

@@ -142,7 +142,10 @@ class Options:
     dtype: str = "float64"           # factorization/compute dtype
     # KKT factorization dtype: "float32" factors at native TPU speed and
     # recovers f64 accuracy with iterative refinement (MA57-style)
-    kkt_dtype: str = "float64" 
+    kkt_dtype: str = "float64"
+    kkt_refinement_steps: int = 1            # f64 refinements after f32 solve
+    LS_batch_candidates: int = 1             # backtracking alphas per LS trip
+    ldlt_backend: str = "auto"               # auto | xla | pallas 
     ldlt_block_size: int = 32        # blocked LDL^T panel width
     bound_infinity: float = 1e20     # |bound| >= this is treated as infinite
 

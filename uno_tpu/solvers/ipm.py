@@ -76,6 +76,20 @@ STATUS_NAMES = {
 LARGE_BOUND = 1e25  # f32-range-safe: TPU f64 is double-float emulation (range ~3.4e38)
 
 
+def _mv(A, x):
+    """A @ x for tiny matrices as broadcast-multiply + reduce.  XLA's f64
+    (double-double) emulation lowers dot_general to a serial multi-step while
+    loop costing ~1 ms per call at B=4096 under vmap (profiled); the explicit
+    form fuses into plain elementwise code.  At CUTEst-scale dims the MXU
+    offers nothing over the VPU for matvecs anyway."""
+    return jnp.sum(A * x[None, :], axis=1)
+
+
+def _mtv(A, y):
+    """A.T @ y, same rationale as _mv."""
+    return jnp.sum(A * y[:, None], axis=0)
+
+
 class IPMState(NamedTuple):
     # primal-dual iterate (n includes slacks from homogenization)
     x: jnp.ndarray
@@ -172,7 +186,7 @@ def _residuals(prob: NLP, ws: IPMWorkspace, opts: Options, x, y, zl, zu,
     rn = opts.residual_norm
 
     # optimality stationarity: sigma*grad f - J^T y - zl - zu
-    cons_contrib = -(J.T @ y if ws.m else jnp.zeros_like(x)) - zl - zu
+    cons_contrib = -(_mtv(J, y) if ws.m else jnp.zeros_like(x)) - zl - zu
     stat = vector_norm(sigma * g + cons_contrib, rn)
     # primal feasibility (homogenized model: all equalities at 0)
     primal_feas = prob.constraint_violation(c, rn)
@@ -200,7 +214,7 @@ def _residuals(prob: NLP, ws: IPMWorkspace, opts: Options, x, y, zl, zu,
     compl_scaling = compl_scaling_of(zl, zu)
 
     # feasibility problem (l1 relaxed, rho=0, no proximal) residuals
-    feas_x = -(J.T @ y_f if ws.m else jnp.zeros_like(x)) - zl_f - zu_f
+    feas_x = -(_mtv(J, y_f) if ws.m else jnp.zeros_like(x)) - zl_f - zu_f
     if ws.m:
         feas_p = nu - y_f - zp
         feas_q = nu + y_f - zq
@@ -408,7 +422,7 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
             + jnp.where(is_feas, prox_coef * prox_scaling(s.x_ref) * (s.x - s.x_ref), 0.0)
 
         # rhs x-part: -(grad_bar - J^T y)  (Subproblem::assemble_augmented_rhs)
-        rhs_x = -(g_bar - (J.T @ y_a if m else 0.0))
+        rhs_x = -(g_bar - (_mtv(J, y_a) if m else 0.0))
 
         if m:
             # condensed elastic terms (see module docstring)
@@ -435,11 +449,16 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
         reg = regularize_and_factor(assemble, n, m, dual_reg_param,
                                     s.prev_delta, opts, block=opts.ldlt_block_size)
         if opts.kkt_dtype == "float32":
-            # mixed-precision: f32 factors + f64 iterative refinement
+            # mixed-precision: f32 factors + f64 iterative refinement.
+            # The residual matvec is written as broadcast-multiply + reduce:
+            # a (k,k)@(k,) f64 dot_general under vmap is lowered by XLA's
+            # double-double emulation into an 8-step while loop that costs
+            # ~1 ms per outer iteration at B=4096 (profiled); the explicit
+            # mul+sum form fuses into plain elementwise double-double code.
             sol = ldlt_solve(reg.fac, rhs.astype(jnp.float32)).astype(rhs.dtype)
             K64 = assemble(reg.delta, reg.eps)
-            for _ in range(2):
-                resid = rhs - K64 @ sol
+            for _ in range(opts.kkt_refinement_steps):
+                resid = rhs - jnp.sum(K64 * sol[None, :], axis=1)
                 sol = sol + ldlt_solve(reg.fac, resid.astype(jnp.float32)).astype(rhs.dtype)
         else:
             sol = ldlt_solve(reg.fac, rhs)
@@ -485,6 +504,18 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
         roundoff = jnp.where(opts.protect_actual_reduction_against_roundoff,
                              10.0 * eps_machine * jnp.abs(merit_cur), 0.0)
 
+        # alpha-independent pieces hoisted out of the LS while body: XLA does
+        # not LICM f64 dots out of while loops, and the double-double
+        # emulation makes each one expensive (profiled)
+        Jdx = _mv(J, dx) if m else None
+        gdx = jnp.sum(g * dx)
+        bdd_h = bar.barrier_directional_derivative(s.x, dx, lbj, ubj, hlb, hub,
+                                                   mu, damping)
+        if m:
+            el_dd_h = jnp.sum((-mu / s.p + damping * mu) * dp
+                              + (-mu / s.q + damping * mu) * dq)
+            bdd_h = bdd_h + jnp.where(is_feas, el_dd_h, 0.0)
+
         def ls_trial(alpha):
             dual_alpha = alpha if opts.LS_scale_duals_with_step_length else 1.0
             x_t = jnp.clip(s.x + alpha * dx, lbj, ubj)
@@ -507,15 +538,10 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
             finite = jnp.isfinite(f_t) & jnp.isfinite(h_t) & jnp.isfinite(aux_t)
 
             # predicted reductions at step length alpha
-            c_lin = c + alpha * (J @ dx) if m else c
+            c_lin = c + alpha * Jdx if m else c
             pred_h = h_cur - prob.constraint_violation(c_lin, opts.progress_norm)
-            pred_obj = alpha * (-(g @ dx))  # evaluated at multiplier 1
-            bdd = bar.barrier_directional_derivative(s.x, dx, lbj, ubj, hlb, hub, mu, damping)
-            if m:
-                el_dd = jnp.sum((-mu / s.p + damping * mu) * dp
-                                + (-mu / s.q + damping * mu) * dq)
-                bdd = bdd + jnp.where(is_feas, el_dd, 0.0)
-            pred_aux = alpha * (-bdd)
+            pred_obj = alpha * (-gdx)  # evaluated at multiplier 1
+            pred_aux = alpha * (-bdd_h)
 
             # acceptance: strategy-specific regular test; the deferred
             # `augment` flag means "filter add of the current point" for
@@ -567,6 +593,8 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
             alpha, accepted, ls_failed, k, _, _ = carry
             return ~accepted & ~ls_failed & (k < opts.max_line_search_iterations)
 
+        NC = max(1, int(opts.LS_batch_candidates))
+
         def ls_body(carry):
             alpha, accepted, ls_failed, k, trial, augment = carry
             acc, tr, aug = ls_trial(alpha)
@@ -577,11 +605,51 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
             augment = jnp.where(acc, aug, augment)
             return alpha_next, acc, ls_failed, k + 1, trial, augment
 
+        def ls_body_vectorized(carry):
+            """Evaluate NC backtracking candidates {a, a*r, ..., a*r^(NC-1)}
+            per loop trip and take the FIRST acceptable one — identical
+            accept/fail decisions to the sequential body (acceptance of a
+            trial depends only on the frozen current iterate and filter, so
+            later candidates cannot be affected by earlier rejections), but
+            the while loop usually runs once.  On TPU the candidate axis
+            rides the VPU for ~free at these sizes while each while-loop
+            trip costs serial latency (profiled)."""
+            alpha, accepted, ls_failed, k, trial, augment = carry
+            ratios = opts.LS_backtracking_ratio ** jnp.arange(NC, dtype=alpha.dtype)
+            alphas = alpha * ratios
+            acc_v, tr_v, aug_v = jax.vmap(ls_trial)(alphas)
+            small = alphas < opts.LS_min_step_length
+            any_small = jnp.any(small)
+            # sequential trying stops at the first too-small alpha
+            J = jnp.where(any_small, jnp.argmax(small), NC - 1)
+            iota_nc = jnp.arange(NC)
+            acc_t = acc_v & (iota_nc <= J)
+            any_acc = jnp.any(acc_t)
+            idx = jnp.argmax(acc_t)     # first acceptable (0 if none; gated)
+
+            def pick(tv):
+                # tv[idx] without a gather: static-unrolled select chain
+                out = tv[NC - 1]
+                for j in range(NC - 2, -1, -1):
+                    out = jnp.where(idx == j, tv[j], out)
+                return out
+
+            trial = jax.tree_util.tree_map(
+                lambda a, tv: jnp.where(any_acc, pick(tv), a), trial, tr_v)
+            augment = jnp.where(any_acc, pick(aug_v), augment)
+            ls_failed = ~any_acc & any_small
+            alpha_next = jnp.where(
+                any_acc, pick(alphas),
+                jnp.where(ls_failed, alpha,
+                          alpha * opts.LS_backtracking_ratio ** NC))
+            tried = jnp.where(any_acc, idx + 1, J + 1)
+            return alpha_next, any_acc, ls_failed, k + tried, trial, augment
+
         trial0 = (s.x, y_a, zl_a, zu_a, s.p, s.q, s.zp, s.zq, h_cur, f_cur, aux_cur)
         carry0 = (jnp.asarray(1.0), jnp.asarray(False), jnp.asarray(False),
                   jnp.asarray(0), trial0, jnp.asarray(False))
         alpha, accepted, ls_failed, ls_iters, trial, augment = lax.while_loop(
-            ls_cond, ls_body, carry0)
+            ls_cond, ls_body if NC == 1 else ls_body_vectorized, carry0)
         # a failed KKT solve invalidates the direction entirely
         accepted = accepted & ~kkt_failed
         ls_failed = ls_failed | kkt_failed | \
@@ -785,7 +853,8 @@ def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options,
         J = prob.constraint_jacobian(x, params)
         K = jnp.block([[jnp.eye(n), J.T], [J, jnp.zeros((m, m))]])
         rhs = jnp.concatenate([g - zl - zu, jnp.zeros((m,))])
-        fac = pick_factorizer(n + m, opts.ldlt_block_size)(K)
+        fac = pick_factorizer(n + m, opts.ldlt_block_size,
+                          opts.ldlt_backend)(K)
         sol = ldlt_solve(fac, rhs)
         y_try = sol[n:]
         ok = (jnp.max(jnp.abs(y_try), initial=0.0) <= opts.least_square_multiplier_max_norm) \

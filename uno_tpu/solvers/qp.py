@@ -87,20 +87,38 @@ def build_qp_solver(struct: QPStructure, opts: Options,
                             primal_regularization_slow_increase_factor=2.0,
                             primal_regularization_fast_increase_factor=10.0)
 
-    def solve(g, H, J, rl, ru, dl, du):
+    def solve(g, H, J, rl, ru, dl, du, warm_d=None, warm_y=None):
+        """warm_d/warm_y: primal/dual warmstart (the IP analogue of BQPD's
+        active-set reuse, BQPDSolver.cpp:246-258): start from the previous
+        QP's solution pushed interior with a small initial barrier, so TR
+        re-solves at the same iterate converge in a few centering steps."""
         dl = jnp.where(has_dl, dl, -HUGE)
         du = jnp.where(has_du, du, HUGE)
         # slack bounds: inequality rows only; equality rows pin s = rl
         sl = jnp.where(has_rl, rl, -HUGE) if m else jnp.zeros((0,))
         su = jnp.where(has_ru, ru, HUGE) if m else jnp.zeros((0,))
 
-        d0 = bar.push_to_interior(jnp.zeros((n,)), dl, du, k1, k2)
+        if warm_d is None:
+            d0 = bar.push_to_interior(jnp.zeros((n,)), dl, du, k1, k2)
+            y0 = jnp.zeros((m,))
+            mu0 = 0.1
+            zl0 = jnp.where(has_dl, 1.0, 0.0)
+            zu0 = jnp.where(has_du, -1.0, 0.0)
+        else:
+            d0 = bar.push_to_interior(jnp.asarray(warm_d), dl, du, k1, k2)
+            y0 = jnp.zeros((m,)) if warm_y is None else jnp.asarray(warm_y)
+            mu0 = 1e-3
+            # mu-centered bound duals at the warm point
+            zl0 = jnp.where(has_dl,
+                            jnp.clip(mu0 / jnp.maximum(d0 - dl, 1e-10),
+                                     1e-8, 1e8), 0.0)
+            zu0 = jnp.where(has_du,
+                            -jnp.clip(mu0 / jnp.maximum(du - d0, 1e-10),
+                                      1e-8, 1e8), 0.0)
         if m:
             s0 = jnp.where(is_eq, rl, bar.push_to_interior(J @ d0, sl, su, k1, k2))
         else:
             s0 = jnp.zeros((0,))
-        zl0 = jnp.where(has_dl, 1.0, 0.0)
-        zu0 = jnp.where(has_du, -1.0, 0.0)
         wl0 = jnp.where(has_rl, 1.0, 0.0)
         wu0 = jnp.where(has_ru, -1.0, 0.0)
 
@@ -202,8 +220,8 @@ def build_qp_solver(struct: QPStructure, opts: Options,
             *_, it, status = carry
             return (status == -1) & (it < max_iterations)
 
-        init = (d0, s0, jnp.zeros((m,)), zl0, zu0, wl0, wu0,
-                jnp.asarray(0.1), jnp.asarray(0.0), jnp.asarray(0),
+        init = (d0, s0, y0, zl0, zu0, wl0, wu0,
+                jnp.asarray(mu0), jnp.asarray(0.0), jnp.asarray(0),
                 jnp.asarray(-1))
         d, s, y, zl, zu, wl, wu, mu, _, it, status = lax.while_loop(cond, body, init)
 
@@ -228,7 +246,9 @@ def build_qp_solver(struct: QPStructure, opts: Options,
         return QPResult(d=d, y=y, zl=zl, zu=zu, status=status,
                         objective=objective, iterations=it, kkt_error=err)
 
-    return solve
+    # jit: one executable per QP family (+1 for the warmstarted signature)
+    # instead of thousands of per-op dispatches per solve
+    return jax.jit(solve)
 
 
 def qp_structure_from_bounds(rl, ru, dl, du) -> QPStructure:

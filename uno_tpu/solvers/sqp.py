@@ -450,6 +450,17 @@ class SQPWorkspace:
             is_eq=self.is_eq, has_rl=self.has_cl, has_ru=self.has_cu)
         self.solve_qp_opt = build_qp_solver(struct_opt, opts, tol=opts.tolerance * 1e-2)
         self.solve_qp_rel = build_qp_solver(struct_rel, opts, tol=opts.tolerance * 1e-2)
+        # QP warmstart cache (the reference's WarmstartInformation/BQPD
+        # active-set reuse analogue): last optimal (d, y) per QP family,
+        # keyed by the iterate x — reused ONLY for re-solves at the SAME
+        # point (TR radius decrease, penalty steering), mirroring BQPD's
+        # UNCHANGED_ACTIVE_SET modes.  Warmstarting an interior-point QP
+        # across different iterates hurts: the previous solution sits on
+        # its active bounds and the fraction-to-boundary rule strangles
+        # the first centering steps (observed: hs021+identity Hessian
+        # stalls at 1e-7 stationarity).
+        self._warm_opt = None
+        self._warm_rel = None
 
     # -- QP data builders ---------------------------------------------------
 
@@ -458,9 +469,16 @@ class SQPWorkspace:
         ru = self.cu - c
         dl = np.maximum(-radius, self.xl - x)
         du = np.minimum(radius, self.xu - x)
-        return self.solve_qp_opt(
+        w = self._warm_opt
+        same_x = w is not None and np.array_equal(w[0], np.asarray(x))
+        res = self.solve_qp_opt(
             jnp.asarray(g), jnp.asarray(H), jnp.asarray(J),
-            jnp.asarray(rl), jnp.asarray(ru), jnp.asarray(dl), jnp.asarray(du))
+            jnp.asarray(rl), jnp.asarray(ru), jnp.asarray(dl), jnp.asarray(du),
+            warm_d=w[1] if same_x else None,
+            warm_y=w[2] if same_x else None)
+        self._warm_opt = (np.asarray(x), np.asarray(res.d), np.asarray(res.y)) \
+            if int(res.status) == 0 else None
+        return res
 
     def relaxed_qp(self, x, ev, c, g, J, H, rho, nu, radius):
         """l1RelaxedProblem QP: variables (d, de)."""
@@ -477,9 +495,16 @@ class SQPWorkspace:
         dl = np.concatenate([np.maximum(-radius, self.xl - x), -ev])
         du = np.concatenate([np.minimum(radius, self.xu - x),
                              np.full(self.n_el, LARGE_BOUND)])
-        return self.solve_qp_rel(
+        w = self._warm_rel
+        same_x = w is not None and np.array_equal(w[0], np.asarray(x))
+        res = self.solve_qp_rel(
             jnp.asarray(g_q), jnp.asarray(H_q), jnp.asarray(J_q),
-            jnp.asarray(rl), jnp.asarray(ru), jnp.asarray(dl), jnp.asarray(du))
+            jnp.asarray(rl), jnp.asarray(ru), jnp.asarray(dl), jnp.asarray(du),
+            warm_d=w[1] if same_x else None,
+            warm_y=w[2] if same_x else None)
+        self._warm_rel = (np.asarray(x), np.asarray(res.d), np.asarray(res.y)) \
+            if int(res.status) == 0 else None
+        return res
 
     # -- measures and residuals ---------------------------------------------
 
