@@ -166,3 +166,12 @@ def test_nonmonotone_filter_ipm():
                         filter_type="nonmonotone")
     assert res.success
     assert abs(res.objective - 306.5) < 1e-3
+
+
+def test_time_limit_respected():
+    """Finite time_limit terminates with status time_limit
+    (reference OptimizationStatus::TIME_LIMIT, Uno.cpp:137-140)."""
+    from uno_tpu.model.library import chained_rosenbrock
+    nlp = chained_rosenbrock(60)
+    res = uno_tpu.solve(nlp, preset="ipopt", time_limit=1e-9)
+    assert res.status == "time_limit"

@@ -62,6 +62,7 @@ INFEASIBLE_STATIONARY = 3
 UNBOUNDED = 4
 ALGORITHMIC_ERROR = 5  # unstable regularization / LS failed
 MAX_ITERATIONS = 6
+TIME_LIMIT = 7         # reference OptimizationStatus::TIME_LIMIT
 
 STATUS_NAMES = {
     RUNNING: "running",
@@ -71,6 +72,7 @@ STATUS_NAMES = {
     UNBOUNDED: "unbounded",
     ALGORITHMIC_ERROR: "algorithmic_error",
     MAX_ITERATIONS: "iteration_limit",
+    TIME_LIMIT: "time_limit",
 }
 
 LARGE_BOUND = 1e25  # f32-range-safe: TPU f64 is double-float emulation (range ~3.4e38)
@@ -968,7 +970,8 @@ def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
 
     from uno_tpu.utils.logger import Logger, LEVELS
     verbose = LEVELS.index(opts.logger) >= LEVELS.index("INFO")
-    if callbacks is not None or history or verbose:
+    timed = np.isfinite(opts.time_limit)
+    if callbacks is not None or history or verbose or timed:
         # step-by-step driver: one jitted outer iteration per Python loop
         # pass, enabling the reference-style statistics table (Uno.cpp:115-127)
         # and per-iterate user callbacks
@@ -1003,6 +1006,13 @@ def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
                 stats.print_current_line()
             if callbacks is not None and hasattr(callbacks, "notify_new_primals"):
                 callbacks.notify_new_primals(np.asarray(s.x)[: nlp.n])
+            # wall-clock termination (reference Timer/time_limit, Uno.cpp:61):
+            # a traced while_loop cannot read the clock, so a finite
+            # time_limit routes through this stepwise driver
+            if timed and time.time() - t0 > opts.time_limit \
+                    and int(s.status) == RUNNING:
+                s = s._replace(status=jnp.asarray(TIME_LIMIT))
+                break
         if verbose:
             stats.print_footer()
         final = s

@@ -15,8 +15,9 @@ scenario block per device and a psum'ed Schur complement over ICI.
 Algorithm (a deliberately lean structured member of the ingredient family):
 monotone Fiacco-McCormick barrier, primal-dual Newton steps through the
 Schur-complement KKT with Haynsworth-inertia delta-correction, fraction-to-
-boundary steps, Armijo backtracking on the barrier merit.  Feasibility
-restoration is not wired for this path yet (PARITY.md).
+boundary steps, residual-based backtracking (reject steps whose true KKT
+error explodes).  Feasibility restoration is not wired for this path yet
+(PARITY.md).
 """
 
 from __future__ import annotations
@@ -193,28 +194,54 @@ def solve_structured_ipm(snlp: ScenarioNLP, opts: Optional[Options] = None,
             lambda zl, zu, dzl, dzu: bar.dual_fraction_to_boundary(
                 zl, zu, dzl, dzu, hsl, hsu, tau))(zsl, zsu, dzsl, dzsu)))
 
-        x0_n = jnp.clip(x0 + a_p * dx0, lb0, ub0)
-        xs_n = jnp.clip(xs + a_p * dxs, lbs, ubs)
-        y_n = y + a_p * dy
-        z0l_n, z0u_n = z0l + a_z * dz0l, z0u + a_z * dz0u
-        zsl_n, zsu_n = zsl + a_z * dzsl, zsu + a_z * dzsu
+        def trial_error(alpha):
+            """KKT error of the TRUE problem at the trial point."""
+            x0_t = jnp.clip(x0 + alpha * a_p * dx0, lb0, ub0)
+            xs_t = jnp.clip(xs + alpha * a_p * dxs, lbs, ubs)
+            y_t = y + alpha * a_p * dy
+            z0l_t, z0u_t = z0l + alpha * a_z * dz0l, z0u + alpha * a_z * dz0u
+            zsl_t, zsu_t = zsl + alpha * a_z * dzsl, zsu + alpha * a_z * dzsu
+            g_xs2, g_x02, c2, *_ = jax.vmap(
+                lambda xsi, yi, pi: scenario_derivs(x0_t, xsi, yi, pi)
+            )(xs_t, y_t, snlp.params)
+            stat_s = g_xs2 - zsl_t - zsu_t
+            stat_0 = jax.grad(snlp.f0)(x0_t) + jnp.sum(g_x02, axis=0) \
+                - z0l_t - z0u_t
+            compl0 = bar.bound_complementarity_error(
+                x0_t, z0l_t, z0u_t, lb0, ub0, h0l, h0u)
+            compls = jax.vmap(lambda x, zl, zu: bar.bound_complementarity_error(
+                x, zl, zu, lbs, ubs, hsl, hsu))(xs_t, zsl_t, zsu_t)
+            e = jnp.max(jnp.array([
+                jnp.max(jnp.abs(stat_s), initial=0.0),
+                jnp.max(jnp.abs(stat_0), initial=0.0),
+                jnp.max(jnp.abs(c2), initial=0.0),
+                jnp.max(jnp.abs(compl0), initial=0.0),
+                jnp.max(jnp.abs(compls), initial=0.0),
+            ]))
+            return e, (x0_t, xs_t, y_t, z0l_t, z0u_t, zsl_t, zsu_t)
 
-        # KKT error of the TRUE problem at the new point
-        g_xs2, g_x02, c2, *_ = jax.vmap(
-            lambda xsi, yi, pi: scenario_derivs(x0_n, xsi, yi, pi)
-        )(xs_n, y_n, snlp.params)
-        stat_s = g_xs2 - zsl_n - zsu_n
-        stat_0 = jax.grad(snlp.f0)(x0_n) + jnp.sum(g_x02, axis=0) - z0l_n - z0u_n
-        compl0 = bar.bound_complementarity_error(x0_n, z0l_n, z0u_n, lb0, ub0, h0l, h0u)
-        compls = jax.vmap(lambda x, zl, zu: bar.bound_complementarity_error(
-            x, zl, zu, lbs, ubs, hsl, hsu))(xs_n, zsl_n, zsu_n)
-        err_n = jnp.max(jnp.array([
-            jnp.max(jnp.abs(stat_s), initial=0.0),
-            jnp.max(jnp.abs(stat_0), initial=0.0),
-            jnp.max(jnp.abs(c2), initial=0.0),
-            jnp.max(jnp.abs(compl0), initial=0.0),
-            jnp.max(jnp.abs(compls), initial=0.0),
-        ]))
+        # residual-based backtracking (the globalization of this lean path):
+        # accept alpha when the true KKT error does not blow past the current
+        # one (Newton steps on barrier subproblems transiently raise the
+        # unscaled error when mu drops, so a sufficient-decrease test on err
+        # alone would reject good steps — gate on non-explosion instead);
+        # halve up to 5 times, keep the last trial as the safeguard step
+        def ls_cond(c3):
+            alpha, e, _, k, acc = c3
+            return (~acc) & (k < 5)
+
+        def ls_body(c3):
+            alpha, _, _, k, _ = c3
+            e, tr = trial_error(alpha)
+            acc = e <= 10.0 * jnp.maximum(err, 10.0 * mu) + 10.0 * mu
+            alpha_next = jnp.where(acc, alpha, alpha * 0.5)
+            return alpha_next, e, tr, k + 1, acc
+
+        e0, tr0 = trial_error(1.0)
+        acc0 = e0 <= 10.0 * jnp.maximum(err, 10.0 * mu) + 10.0 * mu
+        _, err_n, tr, _, _ = lax.while_loop(
+            ls_cond, ls_body, (jnp.asarray(0.5), e0, tr0, jnp.asarray(0), acc0))
+        x0_n, xs_n, y_n, z0l_n, z0u_n, zsl_n, zsu_n = tr
 
         mu_n = jnp.where(err_n <= 10.0 * mu,
                          jnp.maximum(tol / 10.0,
