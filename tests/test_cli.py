@@ -47,3 +47,18 @@ def test_cli_help():
                           capture_output=True, text=True, timeout=300, env=env)
     assert proc.returncode == 0
     assert "presets:" in proc.stdout
+
+
+def test_option_file_layering(tmp_path):
+    """Option file applies between defaults and CLI (Options.cpp:92-113;
+    layering defaults <- option file <- preset <- command line)."""
+    opt = tmp_path / "uno.options"
+    opt.write_text("# comment line\nmax_iterations 3\nlogger SILENT\n")
+    proc, _ = run_cli(tmp_path, f"option_file={opt}", "preset=ipopt")
+    assert proc.returncode == 1, proc.stderr[-2000:]   # hits the 3-iter cap
+    assert "iteration_limit" in proc.stdout
+    # CLI overrides the file (last layer wins)
+    proc2, _ = run_cli(tmp_path, f"option_file={opt}", "preset=ipopt",
+                       "max_iterations=500")
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "status:           optimal" in proc2.stdout

@@ -57,20 +57,37 @@ def main(argv=None):
                       str(Path.home() / ".cache" / "uno_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import uno_tpu
-    from uno_tpu.options import Options, preset as make_preset
+    from uno_tpu.options import Options, preset_overrides
 
-    preset_name = kv.pop("preset", None)
-    opts = make_preset(preset_name) if preset_name else Options()
+    # reference layering (uno_ampl.cpp:110-131, Options.cpp:92-113):
+    # defaults <- option file <- preset <- command line
     import dataclasses
     fields = {f.name: f.type for f in dataclasses.fields(Options)}
-    overrides = {}
-    for k, v in kv.items():
+    defaults = Options()
+
+    def typed(k, v):
         if k not in fields:
             print(f"unknown option {k!r}", file=sys.stderr)
-            return 2
-        current = getattr(opts, k)
-        overrides[k] = _parse_value(type(current), v)
-    opts = opts.replace(**overrides)
+            raise SystemExit(2)
+        return _parse_value(type(getattr(defaults, k)), v)
+
+    layered = {}
+    option_file = kv.pop("option_file", None)
+    if option_file:
+        # whitespace-separated "name value" lines, '#' comment lines
+        for line in Path(option_file).read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) >= 2:
+                layered[parts[0]] = typed(parts[0], parts[1])
+    preset_name = kv.pop("preset", None)
+    if preset_name:
+        layered.update(preset_overrides(preset_name))
+    for k, v in kv.items():
+        layered[k] = typed(k, v)
+    opts = defaults.replace(**layered)
     if opts.logger == "SILENT":
         opts = opts.replace(logger="INFO")
 

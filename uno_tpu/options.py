@@ -283,6 +283,14 @@ _PRESETS = {
 }
 
 
+def preset_overrides(name: str) -> dict:
+    """The raw option overrides of a named preset (for layered application,
+    reference uno_ampl.cpp:110-131: defaults <- option file <- preset <- CLI)."""
+    if name not in _PRESETS:
+        raise ValueError(f"unknown preset {name!r}; available: {sorted(_PRESETS)}")
+    return dict(_PRESETS[name])
+
+
 def preset(name: str, **overrides) -> Options:
     """Build Options for a named preset; keyword overrides are applied last."""
     if name not in _PRESETS:
