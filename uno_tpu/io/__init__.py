@@ -1,3 +1,3 @@
-from uno_tpu.io.nl import read_nl
+from uno_tpu.io.nl import read_nl, convert_nl_to_binary
 
-__all__ = ["read_nl"]
+__all__ = ["read_nl", "convert_nl_to_binary"]

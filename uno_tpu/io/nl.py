@@ -1,4 +1,5 @@
-"""AMPL .nl ingestion: native C++ parser + JAX postfix evaluator.
+"""AMPL .nl ingestion (text AND binary format): native C++ parser + JAX
+postfix evaluator.
 
 Replaces the reference's ASL bindings (bindings/AMPL/AMPLModel.cpp): the C++
 library (nlread.cpp, built on first use) parses the .nl file into flat
@@ -79,7 +80,21 @@ def _lib():
         _LIB.nl_parse.restype = ctypes.POINTER(_NLData)
         _LIB.nl_parse.argtypes = [ctypes.c_char_p]
         _LIB.nl_free.argtypes = [ctypes.POINTER(_NLData)]
+        _LIB.nl_to_binary.restype = ctypes.c_int
+        _LIB.nl_to_binary.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_char_p, ctypes.c_int]
     return _LIB
+
+
+def convert_nl_to_binary(src: str, dst: str) -> None:
+    """Transcribe a text-format .nl file into binary format ('b' header,
+    native-endian 4-byte ints / 8-byte doubles, arith kind on header line 6).
+    read_nl() accepts either format transparently."""
+    buf = ctypes.create_string_buffer(512)
+    rc = _lib().nl_to_binary(os.fspath(src).encode(), os.fspath(dst).encode(),
+                             buf, 512)
+    if rc:
+        raise ValueError(f"nl_to_binary failed: {buf.value.decode()}")
 
 
 def _arr(ptr, n, dtype=np.float64):

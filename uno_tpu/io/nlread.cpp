@@ -1,4 +1,4 @@
-// Native AMPL .nl reader (text format "g").
+// Native AMPL .nl reader — text format ("g") AND binary format ("b").
 //
 // TPU-native replacement for the IO half of the reference's ASL bindings
 // (/root/reference/bindings/AMPL/AMPLModel.cpp:19-80 — ASL_alloc/pfgh_read):
@@ -8,6 +8,18 @@
 // under JAX tracing, so gradients/Jacobians/Hessians come from jax AD and
 // fuse into the solver's XLA program.
 //
+// Binary format (per D. Gay, "Writing .nl Files" / the ASL readers): the
+// 10 header lines stay ASCII (line 1 begins with 'b'; field 3 of line 6 is
+// the arith kind: 1 = IEEE little-endian, 2 = IEEE big-endian), segment
+// letters, expression-node type characters ('o','v','n','s','l') and
+// bound-code digits remain single bytes, while every number is native
+// binary: 4-byte ints, 2-byte shorts ('s' consts), 8-byte doubles.  No
+// whitespace or newlines appear between binary fields.  Byte-swapping is
+// applied when the declared arith kind opposes the host's.
+//
+// Also exposes nl_to_binary(): a text→binary transcriber (the parser run
+// with a tee) used to produce binary fixtures and to let users convert.
+//
 // Exposed as a C API consumed via ctypes (no pybind11 in this environment).
 //
 // Build:  g++ -O2 -shared -fPIC -o libnlread.so nlread.cpp
@@ -15,6 +27,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <cstdint>
 #include <cmath>
 #include <string>
 #include <vector>
@@ -26,8 +39,24 @@ struct Token {
     double num;    // const value / variable index / n-ary arity
 };
 
+inline bool host_is_little_endian() {
+    const uint16_t one = 1;
+    return *reinterpret_cast<const uint8_t*>(&one) == 1;
+}
+
+inline void bswap(void* p, size_t n) {
+    uint8_t* b = static_cast<uint8_t*>(p);
+    for (size_t i = 0, j = n - 1; i < j; ++i, --j) {
+        uint8_t t = b[i]; b[i] = b[j]; b[j] = t;
+    }
+}
+
 struct Parser {
     FILE* f = nullptr;
+    FILE* out = nullptr;      // text→binary transcription target (text mode only)
+    bool bin = false;         // input is binary
+    bool swap = false;        // byteswap binary fields (input arith != host)
+    std::string pending;      // digits glued to a segment/node head (text mode)
     std::string err;
 
     bool fail(const std::string& msg) {
@@ -35,54 +64,177 @@ struct Parser {
         return false;
     }
 
-    // read one whitespace/newline-delimited token
-    bool next(std::string& out) {
-        out.clear();
+    // ---- text tokenizer ----
+    bool next_tok(std::string& o) {
+        o.clear();
         int c;
         while ((c = fgetc(f)) != EOF) {
             if (c == '#') {                 // comment to end of line
                 while ((c = fgetc(f)) != EOF && c != '\n') {}
-                if (!out.empty()) return true;
+                if (!o.empty()) return true;
                 continue;
             }
             if (isspace(c)) {
-                if (!out.empty()) return true;
+                if (!o.empty()) return true;
                 continue;
             }
-            out.push_back(static_cast<char>(c));
+            o.push_back(static_cast<char>(c));
         }
-        return !out.empty();
+        return !o.empty();
+    }
+
+    // ---- emission (text→binary transcription) ----
+    void emit_kind(char k) { if (out) fputc(k, out); }
+    void emit_int(long v) {
+        if (out) { int32_t x = static_cast<int32_t>(v); fwrite(&x, 4, 1, out); }
+    }
+    void emit_short(long v) {
+        if (out) { int16_t x = static_cast<int16_t>(v); fwrite(&x, 2, 1, out); }
+    }
+    void emit_double(double v) { if (out) fwrite(&v, 8, 1, out); }
+
+    // ---- unified lexical API (auto-emits when transcribing) ----
+
+    // next segment letter or expression-node type char; false at clean EOF
+    bool next_kind(char& k) {
+        if (bin) {
+            int c = fgetc(f);
+            if (c == EOF) return false;
+            k = static_cast<char>(c);
+            return true;
+        }
+        std::string t;
+        if (!next_tok(t)) return false;
+        k = t[0];
+        pending = t.substr(1);
+        emit_kind(k);
+        return true;
+    }
+
+    // integer glued to the head in text ("C5", "o2"); separate 4-byte int in binary
+    bool head_int(long& v) {
+        if (bin) return read_i32(v);
+        v = strtol(pending.c_str(), nullptr, 10);
+        emit_int(v);
+        return true;
+    }
+
+    // double glued to the head in text ("n1.5"); 8-byte double in binary
+    bool head_double(double& v) {
+        if (bin) return read_f64(v);
+        v = strtod(pending.c_str(), nullptr);
+        emit_double(v);
+        return true;
+    }
+
+    bool head_short(long& v) {   // 's' short const ("s5" / 2-byte short)
+        if (bin) {
+            int16_t x;
+            if (fread(&x, 2, 1, f) != 1) return fail("unexpected EOF (short)");
+            if (swap) bswap(&x, 2);
+            v = x;
+            return true;
+        }
+        v = strtol(pending.c_str(), nullptr, 10);
+        emit_short(v);
+        return true;
     }
 
     bool next_int(long& v) {
+        if (bin) return read_i32(v);
         std::string s;
-        if (!next(s)) return fail("unexpected EOF (int)");
+        if (!next_tok(s)) return fail("unexpected EOF (int)");
         v = strtol(s.c_str(), nullptr, 10);
+        emit_int(v);
         return true;
     }
 
     bool next_double(double& v) {
+        if (bin) return read_f64(v);
         std::string s;
-        if (!next(s)) return fail("unexpected EOF (double)");
+        if (!next_tok(s)) return fail("unexpected EOF (double)");
         v = strtod(s.c_str(), nullptr);
+        emit_double(v);
         return true;
     }
 
-    // parse one prefix expression, emit postfix into out
-    bool parse_expr(std::vector<Token>& out) {
-        std::string t;
-        if (!next(t)) return fail("unexpected EOF (expr)");
-        char kind = t[0];
+    // bound code: single ASCII digit byte in BOTH formats
+    bool next_code(long& v) {
+        if (bin) {
+            int c = fgetc(f);
+            if (c == EOF) return fail("unexpected EOF (bound code)");
+            v = c - '0';
+            return true;
+        }
+        std::string s;
+        if (!next_tok(s)) return fail("unexpected EOF (bound code)");
+        v = strtol(s.c_str(), nullptr, 10);
+        emit_kind(static_cast<char>('0' + v));
+        return true;
+    }
+
+    // suffix name: whitespace token in text; bytes-to-newline in binary
+    bool next_name(std::string& o) {
+        if (bin) {
+            o.clear();
+            int c;
+            while ((c = fgetc(f)) != EOF && c != '\n')
+                o.push_back(static_cast<char>(c));
+            return true;
+        }
+        if (!next_tok(o)) return fail("unexpected EOF (name)");
+        if (out) { fwrite(o.data(), 1, o.size(), out); fputc('\n', out); }
+        return true;
+    }
+
+    bool read_i32(long& v) {
+        int32_t x;
+        if (fread(&x, 4, 1, f) != 1) return fail("unexpected EOF (int)");
+        if (swap) bswap(&x, 4);
+        v = x;
+        return true;
+    }
+
+    bool read_f64(double& v) {
+        double x;
+        if (fread(&x, 8, 1, f) != 1) return fail("unexpected EOF (double)");
+        if (swap) bswap(&x, 8);
+        v = x;
+        return true;
+    }
+
+    // parse one prefix expression, emit postfix into o
+    bool parse_expr(std::vector<Token>& o) {
+        char kind;
+        if (!next_kind(kind)) return fail("unexpected EOF (expr)");
         if (kind == 'n') {                    // numeric constant
-            out.push_back({-1, strtod(t.c_str() + 1, nullptr)});
+            double v;
+            if (!head_double(v)) return false;
+            o.push_back({-1, v});
+            return true;
+        }
+        if (kind == 's') {                    // short constant (binary files)
+            long v;
+            if (!head_short(v)) return false;
+            o.push_back({-1, static_cast<double>(v)});
+            return true;
+        }
+        if (kind == 'l') {                    // long constant
+            long v;
+            if (!head_int(v)) return false;
+            o.push_back({-1, static_cast<double>(v)});
             return true;
         }
         if (kind == 'v') {                    // variable (or defined variable)
-            out.push_back({-2, static_cast<double>(strtol(t.c_str() + 1, nullptr, 10))});
+            long v;
+            if (!head_int(v)) return false;
+            o.push_back({-2, static_cast<double>(v)});
             return true;
         }
-        if (kind != 'o') return fail("unexpected token '" + t + "' in expression");
-        long op = strtol(t.c_str() + 1, nullptr, 10);
+        if (kind != 'o') return fail(std::string("unexpected token '") + kind +
+                                     "' in expression");
+        long op;
+        if (!head_int(op)) return false;
         int arity;
         switch (op) {
             // unary
@@ -102,16 +254,16 @@ struct Parser {
                 long count;
                 if (!next_int(count)) return false;
                 for (long i = 0; i < count; ++i)
-                    if (!parse_expr(out)) return false;
-                out.push_back({static_cast<int32_t>(op), static_cast<double>(count)});
+                    if (!parse_expr(o)) return false;
+                o.push_back({static_cast<int32_t>(op), static_cast<double>(count)});
                 return true;
             }
             default:
                 return fail("unsupported opcode o" + std::to_string(op));
         }
         for (int i = 0; i < arity; ++i)
-            if (!parse_expr(out)) return false;
-        out.push_back({static_cast<int32_t>(op), 0.0});
+            if (!parse_expr(o)) return false;
+        o.push_back({static_cast<int32_t>(op), 0.0});
         return true;
     }
 };
@@ -146,32 +298,54 @@ static int32_t* dup_ivec(const std::vector<int32_t>& v) {
     return p;
 }
 
-NLData* nl_parse(const char* path) {
-    NLData* d = static_cast<NLData*>(calloc(1, sizeof(NLData)));
+// Parse `path` into *d.  When `binary_out` is non-null the input must be
+// text format and a binary-format transcript is written there.
+static void nl_parse_impl(const char* path, NLData* d, const char* binary_out) {
     Parser P;
     P.f = fopen(path, "rb");
     if (!P.f) {
         snprintf(d->error, sizeof(d->error), "cannot open %s", path);
-        return d;
+        return;
     }
 
     // ---- header ----
-    // line 1: "g..." possibly with extra ints; must be text format
+    // line 1: 'g' (text) or 'b' (binary), possibly followed by option ints
     {
         int c = fgetc(P.f);
-        if (c != 'g') {
+        if (c == 'b') {
+            P.bin = true;
+        } else if (c != 'g') {
             snprintf(d->error, sizeof(d->error),
-                     "only text-format (.nl written with 'g') is supported");
+                     ".nl must begin with 'g' (text) or 'b' (binary)");
             fclose(P.f);
-            return d;
+            return;
         }
-        while ((c = fgetc(P.f)) != EOF && c != '\n') {}
+        if (P.bin && binary_out) {
+            snprintf(d->error, sizeof(d->error),
+                     "nl_to_binary input must be text format");
+            fclose(P.f);
+            return;
+        }
+        if (binary_out) {
+            P.out = fopen(binary_out, "wb");
+            if (!P.out) {
+                snprintf(d->error, sizeof(d->error), "cannot open %s", binary_out);
+                fclose(P.f);
+                return;
+            }
+            fputc('b', P.out);   // rest of line 1 copied below
+        }
+        std::string rest;
+        while ((c = fgetc(P.f)) != EOF && c != '\n')
+            rest.push_back(static_cast<char>(c));
+        if (P.out) { fwrite(rest.data(), 1, rest.size(), P.out); fputc('\n', P.out); }
     }
     long nv = 0, nc = 0, no = 0, nrange = 0, neq = 0;
     {
-        // header lines 2..10: read whole lines (robust to per-line field-count
-        // variations between AMPL versions); line 2 starts with
-        // "vars constraints objectives ranges eqns"
+        // header lines 2..10 are ASCII in both formats (robust to per-line
+        // field-count variations between AMPL versions); line 2 starts with
+        // "vars constraints objectives ranges eqns"; line 6 field 3 is the
+        // arith kind for binary files (1 = IEEE LSB-first, 2 = MSB-first)
         char buf[1024];
         for (int line = 2; line <= 10; ++line) {
             if (!fgets(buf, sizeof(buf), P.f)) {
@@ -185,6 +359,31 @@ NLData* nl_parse(const char* path) {
                     goto done;
                 }
             }
+            if (line == 6) {
+                long nwv = 0, nfunc = 0, arith = 0, flags = 0;
+                int got = sscanf(buf, " %ld %ld %ld %ld",
+                                 &nwv, &nfunc, &arith, &flags);
+                if (P.bin) {
+                    const long host = host_is_little_endian() ? 1 : 2;
+                    if (arith != 0 && arith != host) {
+                        if (arith == 1 || arith == 2) {
+                            P.swap = true;
+                        } else {
+                            snprintf(d->error, sizeof(d->error),
+                                     "unsupported arith kind %ld (not IEEE)", arith);
+                            goto done;
+                        }
+                    }
+                }
+                if (P.out) {
+                    // declare the host's IEEE byte order in the transcript
+                    fprintf(P.out, " %ld %ld %ld %ld\n", nwv, nfunc,
+                            host_is_little_endian() ? 1L : 2L,
+                            got >= 4 ? flags : 0L);
+                    continue;
+                }
+            }
+            if (P.out) fwrite(buf, 1, strlen(buf), P.out);
         }
     }
 
@@ -203,27 +402,25 @@ NLData* nl_parse(const char* path) {
         std::vector<std::vector<Token>> def_exprs;
         d->objective_sense = 0;
 
-        std::string seg;
-        while (P.next(seg)) {
-            char k = seg[0];
-            const char* rest = seg.c_str() + 1;
+        char k;
+        while (P.next_kind(k)) {
             if (k == 'C') {
-                long i = strtol(rest, nullptr, 10);
+                long i;
+                if (!P.head_int(i)) goto emit;
                 if (i < 0 || i >= nc) { P.fail("bad C index"); goto emit; }
                 if (!P.parse_expr(con_exprs[i])) goto emit;
             } else if (k == 'O') {
-                long i = strtol(rest, nullptr, 10);
-                long sense;
-                if (!P.next_int(sense)) goto emit;
+                long i, sense;
+                if (!P.head_int(i) || !P.next_int(sense)) goto emit;
                 if (i == 0) d->objective_sense = static_cast<int32_t>(sense);
                 std::vector<Token> tmp;
                 if (!P.parse_expr(tmp)) goto emit;
                 if (i == 0) obj_exprs[0] = std::move(tmp);
             } else if (k == 'V') {
                 // defined variable: "V<idx> <nlin> <where>" + linear part + expr
-                long idx = strtol(rest, nullptr, 10);
-                long nlin, where;
-                if (!P.next_int(nlin) || !P.next_int(where)) goto emit;
+                long idx, nlin, where;
+                if (!P.head_int(idx) || !P.next_int(nlin) || !P.next_int(where))
+                    goto emit;
                 for (long t = 0; t < nlin; ++t) {
                     long col; double val;
                     if (!P.next_int(col) || !P.next_double(val)) goto emit;
@@ -238,7 +435,7 @@ NLData* nl_parse(const char* path) {
             } else if (k == 'b') {
                 for (long i = 0; i < nv; ++i) {
                     long code;
-                    if (!P.next_int(code)) goto emit;
+                    if (!P.next_code(code)) goto emit;
                     double lo, hi;
                     switch (code) {
                         case 0: if (!P.next_double(lo) || !P.next_double(hi)) goto emit;
@@ -254,7 +451,7 @@ NLData* nl_parse(const char* path) {
             } else if (k == 'r') {
                 for (long i = 0; i < nc; ++i) {
                     long code;
-                    if (!P.next_int(code)) goto emit;
+                    if (!P.next_code(code)) goto emit;
                     double lo, hi;
                     switch (code) {
                         case 0: if (!P.next_double(lo) || !P.next_double(hi)) goto emit;
@@ -268,28 +465,30 @@ NLData* nl_parse(const char* path) {
                     }
                 }
             } else if (k == 'x') {
-                long count = strtol(rest, nullptr, 10);
+                long count;
+                if (!P.head_int(count)) goto emit;
                 for (long t = 0; t < count; ++t) {
                     long idx; double val;
                     if (!P.next_int(idx) || !P.next_double(val)) goto emit;
                     if (idx >= 0 && idx < nv) x0[idx] = val;
                 }
             } else if (k == 'd') {
-                long count = strtol(rest, nullptr, 10);
+                long count;
+                if (!P.head_int(count)) goto emit;
                 for (long t = 0; t < count; ++t) {
                     long idx; double val;
                     if (!P.next_int(idx) || !P.next_double(val)) goto emit;
                     if (idx >= 0 && idx < nc) y0[idx] = val;
                 }
             } else if (k == 'k') {
-                long count = strtol(rest, nullptr, 10);
+                long count;
+                if (!P.head_int(count)) goto emit;
                 long dummy;
                 for (long t = 0; t < count; ++t)
                     if (!P.next_int(dummy)) goto emit;
             } else if (k == 'J') {
-                long i = strtol(rest, nullptr, 10);
-                long count;
-                if (!P.next_int(count)) goto emit;
+                long i, count;
+                if (!P.head_int(i) || !P.next_int(count)) goto emit;
                 for (long t = 0; t < count; ++t) {
                     long col; double val;
                     if (!P.next_int(col) || !P.next_double(val)) goto emit;
@@ -298,9 +497,8 @@ NLData* nl_parse(const char* path) {
                     jv.push_back(val);
                 }
             } else if (k == 'G') {
-                long i = strtol(rest, nullptr, 10);
-                long count;
-                if (!P.next_int(count)) goto emit;
+                long i, count;
+                if (!P.head_int(i) || !P.next_int(count)) goto emit;
                 for (long t = 0; t < count; ++t) {
                     long col; double val;
                     if (!P.next_int(col) || !P.next_double(val)) goto emit;
@@ -310,20 +508,27 @@ NLData* nl_parse(const char* path) {
                     }
                 }
             } else if (k == 'S') {
-                // suffix: "S<kind> <n> <name>" + n (idx, value) pairs; skip
-                long kind_unused = strtol(rest, nullptr, 10);
-                (void)kind_unused;
-                long count; std::string name;
-                if (!P.next_int(count) || !P.next(name)) goto emit;
+                // suffix: "S<kind> <n> <name>" + n (idx, value) pairs; values
+                // are ints unless kind & 4; parsed (to stay in sync) and skipped
+                long kind, count; std::string name;
+                if (!P.head_int(kind) || !P.next_int(count) || !P.next_name(name))
+                    goto emit;
                 for (long t = 0; t < count; ++t) {
-                    long idx; double val;
-                    if (!P.next_int(idx) || !P.next_double(val)) goto emit;
+                    long idx;
+                    if (!P.next_int(idx)) goto emit;
+                    if (kind & 4) {
+                        double val;
+                        if (!P.next_double(val)) goto emit;
+                    } else {
+                        long val;
+                        if (!P.next_int(val)) goto emit;
+                    }
                 }
             } else if (k == 'F' || k == 'L') {
                 P.fail(std::string("unsupported segment '") + k + "'");
                 goto emit;
             } else {
-                P.fail("unknown segment '" + seg + "'");
+                P.fail(std::string("unknown segment '") + k + "'");
                 goto emit;
             }
         }
@@ -338,17 +543,11 @@ NLData* nl_parse(const char* path) {
         obj_off[0] = static_cast<int32_t>(toks.size());
         toks.insert(toks.end(), obj_exprs[0].begin(), obj_exprs[0].end());
         obj_off[1] = static_cast<int32_t>(toks.size());
-        for (auto& e : def_exprs) {
-            def_off.push_back(0);  // placeholder, fixed below
-            (void)e;
-        }
         def_off.assign(1, static_cast<int32_t>(toks.size()));
         for (auto& e : def_exprs) {
             toks.insert(toks.end(), e.begin(), e.end());
             def_off.push_back(static_cast<int32_t>(toks.size()));
         }
-        // def_off currently starts at first defined expr; prepend explicit start
-        // (def_off[0] is the start of defined expr 0)
 
         d->n_vars = static_cast<int32_t>(nv);
         d->n_cons = static_cast<int32_t>(nc);
@@ -386,9 +585,30 @@ NLData* nl_parse(const char* path) {
 
 done:
     if (P.f) fclose(P.f);
+    if (P.out) fclose(P.out);
     if (d->error[0] == 0 && !P.err.empty())
         snprintf(d->error, sizeof(d->error), "%s", P.err.c_str());
+}
+
+NLData* nl_parse(const char* path) {
+    NLData* d = static_cast<NLData*>(calloc(1, sizeof(NLData)));
+    nl_parse_impl(path, d, nullptr);
     return d;
+}
+
+// Convert a text-format .nl to binary format.  Returns 0 on success; on
+// failure writes a message into errbuf and returns 1.
+int nl_to_binary(const char* in_path, const char* out_path,
+                 char* errbuf, int errlen) {
+    NLData* d = static_cast<NLData*>(calloc(1, sizeof(NLData)));
+    nl_parse_impl(in_path, d, out_path);
+    int rc = d->error[0] ? 1 : 0;
+    if (rc && errbuf && errlen > 0)
+        snprintf(errbuf, errlen, "%s", d->error);
+    // free via nl_free (arrays were allocated unless the header failed early)
+    void nl_free(NLData*);
+    nl_free(d);
+    return rc;
 }
 
 void nl_free(NLData* d) {
