@@ -79,6 +79,36 @@ def test_structured_scales_scenarios():
     assert res8.kkt_error <= 1e-8 and res16.kkt_error <= 1e-8
 
 
+def test_structured_infeasible_triggers_restoration():
+    """cs = xs[0]^2 + 1 = 0 is infeasible; at xs[0]=0 the Jacobian vanishes,
+    the optimality-phase KKT block is structurally singular, and the solver
+    must switch to the restoration phase and certify local infeasibility
+    (reference FeasibilityRestoration.cpp:91-105 behavior)."""
+    S, n0, ns, m = 2, 1, 1, 1
+
+    def f0(x0):
+        return jnp.sum(x0 ** 2)
+
+    def fs(x0, xs, p):
+        return jnp.sum((xs - 1.0) ** 2)
+
+    def cs(x0, xs, p):
+        return jnp.array([xs[0] ** 2 + 1.0])
+
+    snlp = ScenarioNLP(
+        name="infeas", n0=n0, ns=ns, m=m, S=S,
+        f0=f0, fs=fs, cs=cs,
+        x0_lb=np.full(n0, -INF), x0_ub=np.full(n0, INF),
+        xs_lb=np.full(ns, -INF), xs_ub=np.full(ns, INF),
+        x0_init=np.zeros(n0), xs_init=np.zeros((S, ns)),
+        params={"dummy": jnp.zeros((S, 1))},
+    )
+    res = solve_structured_ipm(snlp, tol=1e-8, max_iterations=100)
+    assert res.status == "infeasible", (res.status, res.kkt_error)
+    # restoration stationary point of 0.5||c||^2: xs[0] = 0
+    assert np.all(np.abs(res.xs) < 1e-4)
+
+
 def test_structured_with_bounds_active():
     # drive some xs to their lower bound 0
     snlp = make_two_stage(S=4, seed=3)

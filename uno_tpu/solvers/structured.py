@@ -16,8 +16,20 @@ Algorithm (a deliberately lean structured member of the ingredient family):
 monotone Fiacco-McCormick barrier, primal-dual Newton steps through the
 Schur-complement KKT with Haynsworth-inertia delta-correction, fraction-to-
 boundary steps, residual-based backtracking (reject steps whose true KKT
-error explodes).  Feasibility restoration is not wired for this path yet
-(PARITY.md).
+error explodes), and a two-phase feasibility restoration mirroring the
+reference's FeasibilityRestoration (reference
+uno/ingredients/constraint_relaxation_strategies/FeasibilityRestoration.cpp:
+78-143): when the line search or inertia correction fails, switch to
+minimizing sum_s 0.5*||c_s||^2 under the same barrier.  The restoration
+phase reuses the identical block-arrow structure by writing the
+Gauss-Newton least-squares step in saddle form with an elastic -I (2,2)
+block ([[H_curv+Sigma, J^T],[J, -I]] condenses to
+H_curv+Sigma+J^T J = exact Hessian of 0.5||c||^2 plus barrier), so one jit
+program serves both phases via (rho, sigma) objective weights — the
+functional-state-machine analogue of the reference's dual ingredient sets
+(FeasibilityRestoration.cpp:26-37).  Convergence of the restoration phase at
+a point that is still infeasible is reported as status "infeasible"
+(local infeasibility certificate, as in the reference's restoration failure).
 """
 
 from __future__ import annotations
@@ -96,24 +108,33 @@ def solve_structured_ipm(snlp: ScenarioNLP, opts: Optional[Options] = None,
     hsl = jnp.asarray(np.isfinite(snlp.xs_lb))
     hsu = jnp.asarray(np.isfinite(snlp.xs_ub))
 
-    def lag_s(x0, xs, y, p):
-        # scenario Lagrangian (sign convention: L = f - y^T c)
-        return snlp.fs(x0, xs, p) - jnp.dot(y, snlp.cs(x0, xs, p))
+    def lag_s(x0, xs, y, p, rho, sigma):
+        # phase-weighted scenario Lagrangian (sign convention: L = f - y^T c).
+        # sigma*dot(stop_grad(c), c) contributes exactly J^T c to the gradient
+        # and sum_j c_j * hess(c_j) (the LS curvature term) to the Hessian —
+        # the Gauss-Newton J^T J part comes from the -sigma*I elastic block.
+        c = snlp.cs(x0, xs, p)
+        return rho * (snlp.fs(x0, xs, p) - jnp.dot(y, c)) \
+            + sigma * jnp.dot(lax.stop_gradient(c), c)
 
     # per-scenario derivative bundles
-    def scenario_derivs(x0, xs, y, p):
-        g_xs = jax.grad(lag_s, argnums=1)(x0, xs, y, p)
-        g_x0 = jax.grad(lag_s, argnums=0)(x0, xs, y, p)
+    def scenario_derivs(x0, xs, y, p, rho, sigma):
+        g_xs = jax.grad(lag_s, argnums=1)(x0, xs, y, p, rho, sigma)
+        g_x0 = jax.grad(lag_s, argnums=0)(x0, xs, y, p, rho, sigma)
         c = snlp.cs(x0, xs, p)
         J_s = jax.jacfwd(snlp.cs, argnums=1)(x0, xs, p)      # (m, ns)
         J_0 = jax.jacfwd(snlp.cs, argnums=0)(x0, xs, p)      # (m, n0)
-        H_ss = jax.hessian(lag_s, argnums=1)(x0, xs, y, p)   # (ns, ns)
-        H_s0 = jax.jacfwd(jax.grad(lag_s, argnums=1), argnums=0)(x0, xs, y, p)  # (ns, n0)
-        H_00 = jax.hessian(lambda z: lag_s(z, xs, y, p))(x0)  # (n0, n0)
+        H_ss = jax.hessian(lag_s, argnums=1)(x0, xs, y, p, rho, sigma)
+        H_s0 = jax.jacfwd(jax.grad(lag_s, argnums=1), argnums=0)(
+            x0, xs, y, p, rho, sigma)                        # (ns, n0)
+        H_00 = jax.hessian(lambda z: lag_s(z, xs, y, p, rho, sigma))(x0)
         return g_xs, g_x0, c, J_s, J_0, H_ss, H_s0, H_00
 
     def step(carry):
-        x0, xs, y, z0l, z0u, zsl, zsu, mu, delta, it, err, done = carry
+        (x0, xs, y, z0l, z0u, zsl, zsu, mu, delta, it, err, phase, h_switch,
+         infeasible, done) = carry
+        rho = 1.0 - phase
+        sigma = phase
         # barrier quantities
         Sig0 = bar.barrier_hessian_diag(x0, z0l, z0u, lb0, ub0, h0l, h0u)
         gbar0 = bar.barrier_gradient(x0, lb0, ub0, h0l, h0u, mu, 0.0)
@@ -123,27 +144,32 @@ def solve_structured_ipm(snlp: ScenarioNLP, opts: Optional[Options] = None,
             x, lbs, ubs, hsl, hsu, mu, 0.0))(xs)
 
         g_xs, g_x0, c, J_s, J_0, H_ss, H_s0, H_00 = jax.vmap(
-            lambda xsi, yi, pi: scenario_derivs(x0, xsi, yi, pi)
+            lambda xsi, yi, pi: scenario_derivs(x0, xsi, yi, pi, rho, sigma)
         )(xs, y, snlp.params)
 
         gf0 = jax.grad(snlp.f0)(x0)
+        # rhs gradients must EXCLUDE the sigma*J^T c term (the -sigma*I
+        # elastic block regenerates it in the condensed system)
+        g_xs_rhs = g_xs - sigma * jnp.einsum("smn,sm->sn", J_s, c)
+        g_x0_rhs = g_x0 - sigma * jnp.einsum("smn,sm->sn", J_0, c)
 
         def assemble_and_solve(dlt):
-            # scenario blocks [[H_ss+Sig+dlt, J_s^T],[J_s, 0]], coupling
-            # [[H_s0],[J_0]], first-stage H_00 total
+            # scenario blocks [[H_ss+Sig+dlt, J_s^T],[J_s, -sigma I]],
+            # coupling [[H_s0],[J_0]], first-stage H_00 total
             Ks = jnp.concatenate([
                 jnp.concatenate([H_ss + jax.vmap(jnp.diag)(Sigs)
                                  + dlt * jnp.eye(ns)[None], jnp.swapaxes(J_s, 1, 2)], axis=2),
-                jnp.concatenate([J_s, jnp.zeros((S, m, m))], axis=2),
+                jnp.concatenate([J_s, -sigma * jnp.eye(m)[None]
+                                 * jnp.ones((S, 1, 1))], axis=2),
             ], axis=1)                                        # (S, nb, nb)
             Bs = jnp.concatenate([H_s0, J_0], axis=1)          # (S, nb, n0)
-            K0 = jnp.sum(H_00, axis=0) + jax.hessian(snlp.f0)(x0) \
+            K0 = jnp.sum(H_00, axis=0) + rho * jax.hessian(snlp.f0)(x0) \
                 + jnp.diag(Sig0) + dlt * jnp.eye(n0)
             # rhs: -(grad Lagrangian + barrier) per block, -(c) for duals;
-            # g_xs already contains -J_s^T y (gradient of fs - y^T cs)
-            r_xs = g_xs + gbars
+            # g_xs_rhs already contains -rho J_s^T y (gradient of rho(fs - y^T cs))
+            r_xs = g_xs_rhs + gbars
             rhs_s = jnp.concatenate([-(r_xs), -c], axis=1)     # (S, nb)
-            r_x0 = gf0 + jnp.sum(g_x0, axis=0) + gbar0
+            r_x0 = rho * gf0 + jnp.sum(g_x0_rhs, axis=0) + gbar0
             rhs_0 = -r_x0
             # Schur-complement factor+solve (vmapped block algebra)
             facs = jax.vmap(lambda K: ldlt_factor_blocked(K, block=32))(Ks)
@@ -173,13 +199,15 @@ def solve_structured_ipm(snlp: ScenarioNLP, opts: Optional[Options] = None,
 
         dx0_z = jnp.zeros((n0,))
         dblk_z = jnp.zeros((S, nb))
-        dlt, dx0, dblk, good, _ = lax.while_loop(
+        dlt, dx0, dblk, reg_ok, _ = lax.while_loop(
             reg_cond, reg_body,
             (jnp.maximum(delta / 3.0, 0.0), dx0_z, dblk_z, jnp.asarray(False),
              jnp.asarray(0)))
 
         dxs = dblk[:, :ns]
-        dy = -dblk[:, ns:]
+        # restoration phase freezes the equality multipliers (the dual block
+        # solves for the elastic w, not a y-step)
+        dy = -rho * dblk[:, ns:]
         dz0l, dz0u = bar.bound_dual_direction(x0, dx0, z0l, z0u, lb0, ub0, h0l, h0u, mu)
         dzsl, dzsu = jax.vmap(lambda x, dx, zl, zu: bar.bound_dual_direction(
             x, dx, zl, zu, lbs, ubs, hsl, hsu, mu))(xs, dxs, zsl, zsu)
@@ -195,60 +223,100 @@ def solve_structured_ipm(snlp: ScenarioNLP, opts: Optional[Options] = None,
                 zl, zu, dzl, dzu, hsl, hsu, tau))(zsl, zsu, dzsl, dzsu)))
 
         def trial_error(alpha):
-            """KKT error of the TRUE problem at the trial point."""
+            """phase-aware KKT error at the trial point: optimality phase
+            measures the TRUE problem (stationarity, feasibility,
+            complementarity); restoration phase measures stationarity of
+            min 0.5||c||^2 + barrier (feasibility NOT included — a feasibility
+            stationary point with c != 0 is an infeasibility certificate)."""
             x0_t = jnp.clip(x0 + alpha * a_p * dx0, lb0, ub0)
             xs_t = jnp.clip(xs + alpha * a_p * dxs, lbs, ubs)
             y_t = y + alpha * a_p * dy
             z0l_t, z0u_t = z0l + alpha * a_z * dz0l, z0u + alpha * a_z * dz0u
             zsl_t, zsu_t = zsl + alpha * a_z * dzsl, zsu + alpha * a_z * dzsu
             g_xs2, g_x02, c2, *_ = jax.vmap(
-                lambda xsi, yi, pi: scenario_derivs(x0_t, xsi, yi, pi)
+                lambda xsi, yi, pi: scenario_derivs(x0_t, xsi, yi, pi, rho, sigma)
             )(xs_t, y_t, snlp.params)
             stat_s = g_xs2 - zsl_t - zsu_t
-            stat_0 = jax.grad(snlp.f0)(x0_t) + jnp.sum(g_x02, axis=0) \
+            stat_0 = rho * jax.grad(snlp.f0)(x0_t) + jnp.sum(g_x02, axis=0) \
                 - z0l_t - z0u_t
             compl0 = bar.bound_complementarity_error(
                 x0_t, z0l_t, z0u_t, lb0, ub0, h0l, h0u)
             compls = jax.vmap(lambda x, zl, zu: bar.bound_complementarity_error(
                 x, zl, zu, lbs, ubs, hsl, hsu))(xs_t, zsl_t, zsu_t)
+            h_t = jnp.max(jnp.abs(c2), initial=0.0)
             e = jnp.max(jnp.array([
                 jnp.max(jnp.abs(stat_s), initial=0.0),
                 jnp.max(jnp.abs(stat_0), initial=0.0),
-                jnp.max(jnp.abs(c2), initial=0.0),
+                rho * h_t,
                 jnp.max(jnp.abs(compl0), initial=0.0),
                 jnp.max(jnp.abs(compls), initial=0.0),
             ]))
-            return e, (x0_t, xs_t, y_t, z0l_t, z0u_t, zsl_t, zsu_t)
+            return e, h_t, (x0_t, xs_t, y_t, z0l_t, z0u_t, zsl_t, zsu_t)
 
         # residual-based backtracking (the globalization of this lean path):
-        # accept alpha when the true KKT error does not blow past the current
+        # accept alpha when the phase KKT error does not blow past the current
         # one (Newton steps on barrier subproblems transiently raise the
         # unscaled error when mu drops, so a sufficient-decrease test on err
         # alone would reject good steps — gate on non-explosion instead);
         # halve up to 5 times, keep the last trial as the safeguard step
         def ls_cond(c3):
-            alpha, e, _, k, acc = c3
+            alpha, e, _, _, k, acc = c3
             return (~acc) & (k < 5)
 
         def ls_body(c3):
-            alpha, _, _, k, _ = c3
-            e, tr = trial_error(alpha)
+            alpha, _, _, _, k, _ = c3
+            e, h_t, tr = trial_error(alpha)
             acc = e <= 10.0 * jnp.maximum(err, 10.0 * mu) + 10.0 * mu
             alpha_next = jnp.where(acc, alpha, alpha * 0.5)
-            return alpha_next, e, tr, k + 1, acc
+            return alpha_next, e, h_t, tr, k + 1, acc
 
-        e0, tr0 = trial_error(1.0)
+        e0, h0_t, tr0 = trial_error(1.0)
         acc0 = e0 <= 10.0 * jnp.maximum(err, 10.0 * mu) + 10.0 * mu
-        _, err_n, tr, _, _ = lax.while_loop(
-            ls_cond, ls_body, (jnp.asarray(0.5), e0, tr0, jnp.asarray(0), acc0))
+        _, err_n, h_n, tr, _, ls_ok = lax.while_loop(
+            ls_cond, ls_body,
+            (jnp.asarray(0.5), e0, h0_t, tr0, jnp.asarray(0), acc0))
         x0_n, xs_n, y_n, z0l_n, z0u_n, zsl_n, zsu_n = tr
 
-        mu_n = jnp.where(err_n <= 10.0 * mu,
+        # ---- phase transitions (functional FeasibilityRestoration) ----
+        h_cur = jnp.max(jnp.abs(c), initial=0.0)   # infeasibility at x
+        # optimality -> restoration: step computation failed (inertia
+        # correction exhausted or line search rejected everything) while
+        # still infeasible (reference FeasibilityRestoration.cpp:91-105)
+        enter_feas = (phase == 0.0) & ((~reg_ok) | (~ls_ok)) & (h_cur > tol)
+        # restoration -> optimality: infeasibility sufficiently reduced
+        # (reference can_switch_to_optimality_phase, .cpp:156-162)
+        exit_feas = (phase == 1.0) & (h_n <= jnp.maximum(10.0 * tol,
+                                                         0.1 * h_switch))
+        # restoration converged while infeasible: local infeasibility
+        infeasible_n = (phase == 1.0) & (err_n <= jnp.maximum(tol, 1e-8)) \
+            & (h_n > 100.0 * tol)
+
+        phase_n = jnp.where(enter_feas, 1.0, jnp.where(exit_feas, 0.0, phase))
+        h_switch_n = jnp.where(enter_feas, h_cur, h_switch)
+        # on entering restoration: discard the failed trial, keep x, raise mu
+        # to the infeasibility level (PrimalDualInteriorPointMethod.cpp:161-181)
+        keep = enter_feas
+        x0_n = jnp.where(keep, x0, x0_n)
+        xs_n = jnp.where(keep, xs, xs_n)
+        y_n = jnp.where(keep, y, y_n)
+        z0l_n = jnp.where(keep, z0l, z0l_n)
+        z0u_n = jnp.where(keep, z0u, z0u_n)
+        zsl_n = jnp.where(keep, zsl, zsl_n)
+        zsu_n = jnp.where(keep, zsu, zsu_n)
+        mu_after = jnp.where(enter_feas,
+                             jnp.clip(jnp.maximum(mu, h_cur), mu, 10.0), mu)
+        # phase switches reset the error reference (errors of the two phases
+        # are not comparable)
+        err_n = jnp.where(enter_feas | exit_feas, jnp.asarray(jnp.inf), err_n)
+
+        mu_n = jnp.where((~enter_feas) & (err_n <= 10.0 * mu_after),
                          jnp.maximum(tol / 10.0,
-                                     jnp.minimum(0.2 * mu, jnp.power(mu, 1.5))), mu)
-        done = err_n <= tol
+                                     jnp.minimum(0.2 * mu_after,
+                                                 jnp.power(mu_after, 1.5))),
+                         mu_after)
+        done = ((phase_n == 0.0) & (err_n <= tol)) | infeasible_n
         return (x0_n, xs_n, y_n, z0l_n, z0u_n, zsl_n, zsu_n, mu_n, dlt,
-                it + 1, err_n, done)
+                it + 1, err_n, phase_n, h_switch_n, infeasible_n, done)
 
     # initial point
     k1 = opts.barrier_push_variable_to_interior_k1
@@ -263,7 +331,8 @@ def solve_structured_ipm(snlp: ScenarioNLP, opts: Optional[Options] = None,
             jnp.broadcast_to(jnp.where(hsl, 1.0, 0.0), (S, ns)),
             jnp.broadcast_to(jnp.where(hsu, -1.0, 0.0), (S, ns)),
             jnp.asarray(0.1), jnp.asarray(0.0), jnp.asarray(0),
-            jnp.asarray(jnp.inf), jnp.asarray(False))
+            jnp.asarray(jnp.inf), jnp.asarray(0.0), jnp.asarray(0.0),
+            jnp.asarray(False), jnp.asarray(False))
 
     @jax.jit
     def run(carry):
@@ -274,9 +343,16 @@ def solve_structured_ipm(snlp: ScenarioNLP, opts: Optional[Options] = None,
     x0_f, xs_f, y_f = final[0], final[1], final[2]
     err = float(final[10])
     iters = int(final[9])
+    infeasible = bool(final[13])
     obj = float(snlp.objective(x0_f, xs_f))
+    if infeasible:
+        status = "infeasible"
+    elif err <= tol:
+        status = "optimal"
+    else:
+        status = "iteration_limit"
     return StructuredResult(
-        status="optimal" if err <= tol else "iteration_limit",
+        status=status,
         x0=np.asarray(x0_f), xs=np.asarray(xs_f), y=np.asarray(y_f),
         objective=obj, iterations=iters, kkt_error=err,
         cpu_time=time.time() - t_start)
