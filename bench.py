@@ -38,11 +38,18 @@ def main():
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     kkt_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    mode = sys.argv[3] if len(sys.argv) > 3 else "plain"
     opts = preset("ipopt", scale_functions=False, kkt_dtype=kkt_dtype,
                   LS_batch_candidates=4)
     nlp, x0, params = _flagship(B)
 
-    prob, run = build_batch_ipm(nlp, opts, params_example=jnp.asarray(params[0]))
+    if mode == "bucketed":
+        from uno_tpu.solvers.batch import build_bucketed_batch_ipm
+        prob, run = build_bucketed_batch_ipm(
+            nlp, opts, params_example=jnp.asarray(params[0]),
+            segment=6, min_bucket=max(256, B // 16))
+    else:
+        prob, run = build_batch_ipm(nlp, opts, params_example=jnp.asarray(params[0]))
     x0j, pj = jnp.asarray(x0), jnp.asarray(params)
 
     # compile (excluded from the measurement)
@@ -77,6 +84,7 @@ def main():
             "max_iterations": int(iters.max()),
             "tolerance": 1e-8,
             "kkt_dtype": kkt_dtype,
+            "mode": mode,
             "device": str(jax.devices()[0]),
         },
     }

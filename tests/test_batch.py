@@ -99,3 +99,26 @@ def test_batch_x0_only():
     res = solve_batch(nlp, opts, x0)
     assert res.num_solved == 4
     assert np.all(np.abs(res.objective) < 1e-6)
+
+
+def test_bucketed_matches_plain_batch():
+    """Iteration-count bucketing must produce the same solutions as the
+    plain vmapped driver (it runs the identical step program, only compacting
+    converged lanes away between segments)."""
+    from uno_tpu.solvers.batch import build_batch_ipm, build_bucketed_batch_ipm
+    nlp = batched_qp_nlp()
+    opts = preset("ipopt", scale_functions=False)
+    rng = np.random.default_rng(7)
+    B = 32
+    ab = jnp.asarray(rng.uniform(-2.0, 3.0, (B, 2)))
+    x0 = jnp.tile(jnp.asarray([0.5, 0.5]), (B, 1))
+
+    _, run_plain = build_batch_ipm(nlp, opts, params_example=ab[0])
+    _, run_buck = build_bucketed_batch_ipm(nlp, opts, params_example=ab[0],
+                                           segment=3, min_bucket=4)
+    fp = jax.block_until_ready(run_plain(x0, ab))
+    fb = jax.block_until_ready(run_buck(x0, ab))
+    assert np.array_equal(np.asarray(fp.status), np.asarray(fb.status))
+    assert np.array_equal(np.asarray(fp.iteration), np.asarray(fb.iteration))
+    np.testing.assert_allclose(np.asarray(fp.x), np.asarray(fb.x),
+                               rtol=0, atol=1e-12)

@@ -35,6 +35,39 @@ def _sort_pairs(h, phi):
     return lax.sort((h, phi), dimension=-1, is_stable=True, num_keys=1)
 
 
+def _compact(h, phi, keep):
+    """Stable partition: move `keep` entries to the front (relative order
+    preserved), +inf padding behind.  Because the kept entries are already in
+    relative sorted order, this replaces a full `lax.sort` — which lowers to
+    ~log^2(capacity) serial bitonic passes over the (batch, capacity) arrays
+    under vmap (profiled at ~0.75 ms each at B=4096) — with a one-hot
+    min-contraction over a (capacity, capacity) broadcast that XLA fuses
+    into a single reduce kernel."""
+    cap = h.shape[-1]
+    iota = lax.iota(jnp.int32, cap)
+    pos = jnp.cumsum(keep.astype(jnp.int32), axis=-1) - 1   # target slot
+    onehot = (pos[..., :, None] == iota) & keep[..., :, None]
+    h_c = jnp.min(jnp.where(onehot, h[..., :, None], BIG), axis=-2)
+    phi_c = jnp.min(jnp.where(onehot, phi[..., :, None], BIG), axis=-2)
+    return h_c, phi_c
+
+
+def _sorted_insert(h, phi, h_new, phi_new):
+    """Insert (h_new, phi_new) into h-ascending arrays whose last slot is
+    free (+inf), keeping the sort: a shift-by-one select instead of a
+    re-sort.  Ties insert after equal-h entries (matching the stable sort
+    with the new entry appended at the back)."""
+    cap = h.shape[-1]
+    iota = lax.iota(jnp.int32, cap)
+    pos = jnp.sum(h <= h_new, axis=-1, keepdims=True)  # insertion index
+    h_prev = jnp.concatenate([h[..., :1], h[..., :-1]], axis=-1)   # h[i-1]
+    phi_prev = jnp.concatenate([phi[..., :1], phi[..., :-1]], axis=-1)
+    h_out = jnp.where(iota < pos, h, jnp.where(iota == pos, h_new, h_prev))
+    phi_out = jnp.where(iota < pos, phi,
+                        jnp.where(iota == pos, phi_new, phi_prev))
+    return h_out, phi_out
+
+
 def _at_index(arr, idx):
     """arr[idx] for a traced scalar idx without a gather: one-hot contraction
     over the (tiny, static) capacity axis — VPU-friendly under vmap."""
@@ -90,22 +123,21 @@ def filter_add(f: FilterState, h_c, phi_c, beta) -> FilterState:
     insert keeping h-ascending order (Filter::add)."""
     cap = f.h.shape[0]
     keep = (f.h < h_c) | (f.phi < phi_c)
-    h = jnp.where(keep, f.h, BIG)
-    phi = jnp.where(keep, f.phi, BIG)
-    n = jnp.sum(h < BIG)
+    # kept entries stay in relative sorted order -> stable partition, no sort
+    h, phi = _compact(f.h, f.phi, keep)
+    n = jnp.sum(keep)
 
     # if full after removal: shrink upper bound and drop the largest-h entry
+    # (slot cap-1 after compaction)
     full = n >= cap
-    h, phi = _sort_pairs(h, phi)   # compact: masked slots (+inf) to the back
+    iota = lax.iota(jnp.int32, cap)
     largest = jnp.where(full, jnp.maximum(f.ub, h[cap - 1]), -BIG)
     ub = jnp.where(full, beta * largest, f.ub)
-    h = jnp.where(full, h.at[cap - 1].set(BIG), h)
-    phi = jnp.where(full, phi.at[cap - 1].set(BIG), phi)
+    h = jnp.where(full & (iota == cap - 1), BIG, h)
+    phi = jnp.where(full & (iota == cap - 1), BIG, phi)
 
-    # insert the new entry in the (now guaranteed) free last slot, re-sort
-    h = h.at[cap - 1].set(h_c)
-    phi = phi.at[cap - 1].set(phi_c)
-    h, phi = _sort_pairs(h, phi)
+    # shift-insert the new entry at its sorted position (last slot is free)
+    h, phi = _sorted_insert(h, phi, h_c, phi_c)
     return FilterState(h, phi, ub)
 
 
@@ -264,11 +296,8 @@ def nm_filter_add(f: FilterState, h_c, phi_c, max_dom) -> FilterState:
     ndom = jnp.sum(dom_pair & valid[None, :], axis=1) \
         + ((f.phi > phi_c) & (f.h > h_c))
     keep = valid & (ndom <= max_dom)
-    # compact preserving insertion order: stable sort on the removal flag
-    key = (~keep).astype(jnp.int32)
-    h = jnp.where(keep, f.h, BIG)
-    phi = jnp.where(keep, f.phi, BIG)
-    _, h, phi = lax.sort((key, h, phi), dimension=-1, is_stable=True, num_keys=1)
+    # compact preserving insertion order: stable partition, no sort
+    h, phi = _compact(f.h, f.phi, keep)
     n = jnp.sum(keep)
 
     # full -> evict entry 1 (left_shift(1, 1): keeps the oldest, drops next)
