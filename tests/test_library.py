@@ -27,6 +27,9 @@ SLSQP_SKIP = {
     "hs061",   # rank-deficient Jacobian at x0=0: SLSQP diverges
     "hs055",   # rank-deficient equalities: SLSQP returns a non-stationary point
     "polak5",  # minimax structure; SLSQP cycles from this x0
+    "hs084",   # objective ~1e6: SLSQP stalls at x0; trust-constr needs >3000
+               # iters with exact constraint jac but reaches f=-5280335.095
+               # (rel err 7e-9 vs the book value) without it
 }
 
 
@@ -77,6 +80,12 @@ def test_optimum_reproducible_by_scipy(name):
                  [b[1] if b[1] is not None else np.inf for b in bounds])
     r = minimize(fn, x0, jac=gn, bounds=bounds, constraints=cons,
                  method="SLSQP", options={"maxiter": 500})
+    if min(abs(r.fun - f) / max(1.0, abs(f)) for f in optima) >= 1e-4:
+        # SLSQP stalls on a few stiff problems (hs057, hs084); second opinion
+        tc_bounds = [(lo if lo is not None else -np.inf,
+                      hi if hi is not None else np.inf) for lo, hi in bounds]
+        r = minimize(fn, x0, jac=gn, bounds=tc_bounds, constraints=cons,
+                     method="trust-constr", options={"maxiter": 3000})
     if nlp.m:
         cv = np.asarray(nlp.constraints(jnp.asarray(r.x)))
         viol = max(np.max(np.maximum(nlp.c_lb - cv, 0.0)),
