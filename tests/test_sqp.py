@@ -1,8 +1,7 @@
 """End-to-end SQP-path preset tests (filtersqp / funnelsqp / byrd / filterslp).
 
 Problem subset chosen for CPU test runtime; the full library sweep lives in
-the benchmark harness.  polak5+filtersqp is a known slow-restoration case
-(tracked for optimization) and excluded here.
+the benchmark harness.
 """
 
 import jax.numpy as jnp
@@ -24,8 +23,11 @@ def check(name, preset, max_iterations=200, rtol=1e-4):
     return res
 
 
-@pytest.mark.parametrize("name", ["hs014", "hs015", "hs016", "hs035", "hs071", "hs100"])
+@pytest.mark.parametrize("name", ["hs014", "hs015", "hs016", "hs035", "hs071", "hs100",
+                                  "polak5"])
 def test_filtersqp(name):
+    # polak5 exercises the feasible-to-tolerance restoration exit (an h=0
+    # filter entry makes the beta-reduction test unsatisfiable)
     check(name, "filtersqp")
 
 

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Full-library preset sweep: the CUTEst-parity harness.
+
+The reference's published evidence is a performance profile over 429 small
+CUTEst problems (/root/reference/README.md:80-89); CUTEst fixtures are not
+available in this environment, so this sweeps every problem in the built-in
+library (the analytic Hock-Schittkowski core of the small-CUTEst set) over
+the solver presets and reports solved counts + objective-evaluation budgets,
+the same metrics the reference's performance profile is built from.
+
+Usage:
+  python tools/sweep.py [preset ...]        # default: all five presets
+  JAX_PLATFORMS=cpu python tools/sweep.py   # force CPU
+
+Prints a per-preset table and a JSON summary line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+import uno_tpu  # noqa: E402
+from uno_tpu.model.library import (acceptable_optima, get_problem,  # noqa: E402
+                                   problem_names)
+
+PRESETS = ("ipopt", "filtersqp", "funnelsqp", "byrd", "filterslp")
+# end-to-end CI tolerance of the reference (runtests_uno_ipopt_ma27.jl:70-75)
+RTOL = 1e-4
+# per-preset termination tolerances follow the presets themselves
+
+# first-order points that are legitimate for a local solver but are not in
+# the registry's optima lists get counted separately
+MAX_ITER = {"ipopt": 2000, "filtersqp": 500, "funnelsqp": 500,
+            "byrd": 500, "filterslp": 500}
+
+
+def run_preset(preset, names):
+    rows = []
+    for name in names:
+        nlp = get_problem(name)
+        t0 = time.perf_counter()
+        try:
+            res = uno_tpu.solve(nlp, preset=preset,
+                                max_iterations=MAX_ITER[preset])
+            status = res.status
+            f = float(res.objective)
+            nit = int(res.iterations)
+            nf = int(res.num_objective_evaluations)
+        except Exception as exc:  # noqa: BLE001 — sweep must not abort
+            status, f, nit, nf = f"error({type(exc).__name__})", np.nan, 0, 0
+        wall = time.perf_counter() - t0
+        optima = acceptable_optima(name)
+        if optima and np.isfinite(f):
+            err = min(abs(f - fs) / max(1.0, abs(fs)) for fs in optima)
+        else:
+            err = np.nan
+        ok = False
+        if not str(status).startswith("error"):
+            ok = bool(res.success and (not optima or err <= RTOL))
+        rows.append(dict(name=name, status=str(status), f=f, err=err,
+                         iters=nit, nfev=nf, wall=wall, solved=ok))
+    return rows
+
+
+def main():
+    presets = sys.argv[1:] or list(PRESETS)
+    names = problem_names()
+    summary = {}
+    for preset in presets:
+        rows = run_preset(preset, names)
+        solved = [r for r in rows if r["solved"]]
+        print(f"\n== {preset}: {len(solved)}/{len(rows)} solved "
+              f"(rtol {RTOL} vs known optima) ==")
+        for r in rows:
+            if not r["solved"]:
+                print(f"  FAIL {r['name']:<24} status={r['status']:<20} "
+                      f"f={r['f']:.6g} err={r['err']:.2g} iters={r['iters']}")
+        summary[preset] = {
+            "solved": len(solved), "total": len(rows),
+            "total_obj_evals": int(sum(r["nfev"] for r in solved)),
+            "median_iters": float(np.median([r["iters"] for r in solved]))
+            if solved else None,
+        }
+    print("\n" + json.dumps({"sweep": summary}))
+
+
+if __name__ == "__main__":
+    main()

@@ -709,6 +709,10 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
                 (h_n <= opts.funnel_beta * s.h_ref)
         else:  # l1_merit (.cpp:48-52): beat best-known infeasibility
             inf_reduced = h_n <= 0.9 * gs_scalar
+        # additionally exit restoration when feasible to tolerance: an h=0
+        # filter entry makes the beta tests above unsatisfiable (see
+        # FeasibilityRestorationSQP.can_switch_back)
+        inf_reduced = inf_reduced | (h_n <= opts.tolerance)
         back_ok = accepted & is_feas & inf_reduced
         # (b) optimality -> restoration: LS failure or unstable KKT
         to_feas = ls_failed & ~is_feas & ws.constrained

@@ -713,8 +713,14 @@ class FeasibilityRestorationSQP:
         return accepted
 
     def can_switch_back(self, it, trial, direction, step_length):
-        if not self.strategy.is_infeasibility_sufficiently_reduced(
-                self.reference_progress, trial.progress):
+        # beta-reduction test vs the reference progress
+        # (FeasibilityRestoration.cpp:156-162).  Additionally exit when the
+        # trial iterate is feasible to tolerance: with an h=0 entry in the
+        # filter (e.g. polak5), `h_trial < beta * smallest_h` is
+        # unsatisfiable and restoration would otherwise never terminate.
+        reduced = self.strategy.is_infeasibility_sufficiently_reduced(
+            self.reference_progress, trial.progress)
+        if not reduced and trial.progress.infeasibility > self.opts.tolerance:
             return False
         if self.opts.switch_to_optimality_requires_linearized_feasibility:
             lin = it.c + step_length * (it.J @ direction.dx) if self.ws.m else it.c
