@@ -9,8 +9,9 @@ the solver presets and reports solved counts + objective-evaluation budgets,
 the same metrics the reference's performance profile is built from.
 
 Usage:
-  python tools/sweep.py [preset ...]        # default: all five presets
-  JAX_PLATFORMS=cpu python tools/sweep.py   # force CPU
+  python tools/sweep.py [preset ...]          # default: all five presets
+  python tools/sweep.py ipopt --slice 0:48    # problems [0, 48) only
+  JAX_PLATFORMS=cpu python tools/sweep.py     # force CPU
 
 Prints a per-preset table and a JSON summary line.
 """
@@ -21,6 +22,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/uno_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 
@@ -68,8 +75,14 @@ def run_preset(preset, names):
 
 
 def main():
-    presets = sys.argv[1:] or list(PRESETS)
+    argv = sys.argv[1:]
     names = problem_names()
+    if "--slice" in argv:
+        i = argv.index("--slice")
+        start, stop = argv[i + 1].split(":")
+        names = names[int(start):int(stop)]
+        argv = argv[:i] + argv[i + 2:]
+    presets = argv or list(PRESETS)
     summary = {}
     for preset in presets:
         rows = run_preset(preset, names)

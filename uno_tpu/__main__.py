@@ -95,6 +95,15 @@ def main(argv=None):
     nlp = read_nl(nl_path)
     res = uno_tpu.solve(nlp, options=opts)
 
+    # reference Options::print_used (Options.cpp:122-134); every option is
+    # consumed when the jitted program is built, so "used" == overwritten
+    overwritten = {k: v for k, v in layered.items()
+                   if getattr(defaults, k) != v}
+    if overwritten:
+        print("\nUsed overwritten options:")
+        for k, v in sorted(overwritten.items()):
+            print(f"- {k} = {v}")
+
     print(f"\nuno_tpu {uno_tpu.__version__}")
     print("─" * 40)
     print(f"status:           {res.status}")
