@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
 
+# the axon sitecustomize preloads jax with the remote-TPU platform before
+# env vars are read; honoring JAX_PLATFORMS needs the config API
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/uno_tpu_xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
