@@ -82,3 +82,24 @@ def test_cyclic_permutation_roundtrip():
         cols = perm[p * nloc:(p + 1) * nloc]
         panels = sorted(set(c // 8 for c in cols))
         assert panels == [p, p + 4]
+
+
+def test_ipm_with_distributed_kkt_backend():
+    """Full IPM with the KKT factorization sharded over the mesh must match
+    the single-chip solve (ldlt_backend='distributed' via build_ipm)."""
+    import uno_tpu
+    from uno_tpu.options import preset
+    from uno_tpu.solvers.ipm import (build_ipm, canonicalize_state,
+                                     make_initial_state)
+    from uno_tpu.model.library import scalable_quadratic
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("kkt",))
+    nlp = scalable_quadratic(40, 12, seed=2)
+    opts = preset("ipopt", scale_functions=False, ldlt_backend="distributed")
+    prob, ws, step, run = build_ipm(nlp, opts, mesh=mesh)
+    final = jax.block_until_ready(
+        run(canonicalize_state(make_initial_state(prob, ws, opts))))
+    res = uno_tpu.solve(nlp, preset="ipopt", scale_functions=False)
+    assert res.success
+    xd = np.asarray(final.x)[:nlp.n]
+    np.testing.assert_allclose(xd, np.asarray(res.x), atol=1e-6)

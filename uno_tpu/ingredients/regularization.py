@@ -67,12 +67,18 @@ def regularize_and_factor(
     prev_delta,
     opts,
     block: int = 32,
+    factorizer=None,
 ) -> RegularizedFactorization:
     """assemble(delta, eps) must build the full augmented matrix with the
-    regularization applied (+delta on primal diagonal slots, -eps on dual)."""
+    regularization applied (+delta on primal diagonal slots, -eps on dual).
 
-    factorize = pick_factorizer(expected_pos + expected_neg, block,
-                                getattr(opts, "ldlt_backend", "auto"))
+    `factorizer` overrides the backend choice — e.g. the mesh-distributed
+    KKT backend (parallel/dist_ldlt.py); it only needs to return an object
+    with num_pos/num_neg/num_zero fields (inertia) as a pytree of arrays."""
+
+    factorize = factorizer if factorizer is not None else pick_factorizer(
+        expected_pos + expected_neg, block,
+        getattr(opts, "ldlt_backend", "auto"))
     # mixed precision (MA57-style, MA57Solver.cpp:137-145): factor in f32 at
     # native TPU speed, refine the solve in f64 (kkt_dtype option)
     factor_dtype = jnp.dtype(getattr(opts, "kkt_dtype", "float64"))

@@ -145,8 +145,9 @@ class Options:
     kkt_dtype: str = "float64"
     kkt_refinement_steps: int = 1            # f64 refinements after f32 solve
     LS_batch_candidates: int = 1             # backtracking alphas per LS trip
-    ldlt_backend: str = "auto"               # auto | xla | pallas 
+    ldlt_backend: str = "auto"       # auto | xla | pallas | distributed
     ldlt_block_size: int = 32        # blocked LDL^T panel width
+    dist_ldlt_block: int = 64        # distributed-KKT panel width (per chip)
     bound_infinity: float = 1e20     # |bound| >= this is treated as infinite
 
     def replace(self, **kwargs) -> "Options":

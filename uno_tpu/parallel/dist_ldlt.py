@@ -253,3 +253,44 @@ def make_dist_ldlt(mesh: Mesh, n: int, axis: str = "kkt", block: int = 64,
         return solve_sh(fac.L_cyc, fac.d, rhs)
 
     return factor, solve, cyclic_permutation(n, nproc, block)
+
+def make_dist_kkt_backend(mesh: Mesh, n_kkt: int, axis: str = "kkt",
+                          block: int = 64, zero_pivot_rtol: float = 1e-32):
+    """KKT-solver backend pair (factorize, solve) with the same contract as
+    `pick_factorizer(...)` + `ldlt_solve` (linalg/ldlt.py), factoring over
+    the mesh axis.  Wired into the IPM via `ldlt_backend="distributed"` —
+    the inertia-corrected regularization loop (ingredients/regularization.py)
+    consumes the returned DistLDLT unchanged.
+
+    Handles arbitrary n_kkt by padding to a multiple of P*block with a +1
+    identity tail (its known-positive pivots are removed from the reported
+    inertia) and applies the block-cyclic column permutation internally, so
+    callers pass the matrix and rhs in global order.
+
+    Note: the augmented matrix is assembled replicated and resharded here —
+    this backend scales the O(n^3) factorization compute across chips, not
+    the O(n^2) assembly memory."""
+    nproc = mesh.shape[axis]
+    unit = nproc * block
+    n_pad = -(-max(n_kkt, 1) // unit) * unit
+    pad = n_pad - n_kkt
+    factor_p, solve_p, perm = make_dist_ldlt(mesh, n_pad, axis, block,
+                                             zero_pivot_rtol)
+    perm_j = jnp.asarray(perm)
+
+    def factorize(A):
+        if pad:
+            A = jnp.pad(A, ((0, pad), (0, pad)))
+            A = A.at[jnp.arange(n_kkt, n_pad),
+                     jnp.arange(n_kkt, n_pad)].set(1.0)
+        fac = factor_p(jnp.take(A, perm_j, axis=1))
+        return DistLDLT(fac.L_cyc, fac.d,
+                        fac.num_pos - pad, fac.num_neg, fac.num_zero)
+
+    def solve(fac: DistLDLT, rhs):
+        if pad:
+            rhs = jnp.pad(rhs, (0, pad))
+        x = solve_p(fac, rhs)
+        return x[:n_kkt]
+
+    return factorize, solve

@@ -297,7 +297,12 @@ def _update_barrier_parameter(ws, opts, mu, x, zl, zu, p, q, zp, zq, is_feas,
 # the solver step
 # --------------------------------------------------------------------------
 
-def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
+def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options,
+                  kkt_backend=None):
+    """kkt_backend: optional (factorize, solve) pair replacing the built-in
+    LDL^T — e.g. the mesh-distributed backend (parallel/dist_ldlt.py) for
+    KKT systems whose factorization should be sharded over chips."""
+    kkt_factorizer, kkt_solver = kkt_backend if kkt_backend else (None, None)
     """Builds the jittable single-outer-iteration function state -> state."""
     n, m = ws.n, ws.m
     nu = opts.l1_constraint_violation_coefficient
@@ -449,7 +454,9 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
 
         dual_reg_param = jnp.power(mu, opts.barrier_regularization_exponent)
         reg = regularize_and_factor(assemble, n, m, dual_reg_param,
-                                    s.prev_delta, opts, block=opts.ldlt_block_size)
+                                    s.prev_delta, opts, block=opts.ldlt_block_size,
+                                    factorizer=kkt_factorizer)
+        _solve = kkt_solver if kkt_solver is not None else ldlt_solve
         if opts.kkt_dtype == "float32":
             # mixed-precision: f32 factors + f64 iterative refinement.
             # The residual matvec is written as broadcast-multiply + reduce:
@@ -457,13 +464,13 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options):
             # double-double emulation into an 8-step while loop that costs
             # ~1 ms per outer iteration at B=4096 (profiled); the explicit
             # mul+sum form fuses into plain elementwise double-double code.
-            sol = ldlt_solve(reg.fac, rhs.astype(jnp.float32)).astype(rhs.dtype)
+            sol = _solve(reg.fac, rhs.astype(jnp.float32)).astype(rhs.dtype)
             K64 = assemble(reg.delta, reg.eps)
             for _ in range(opts.kkt_refinement_steps):
                 resid = rhs - jnp.sum(K64 * sol[None, :], axis=1)
-                sol = sol + ldlt_solve(reg.fac, resid.astype(jnp.float32)).astype(rhs.dtype)
+                sol = sol + _solve(reg.fac, resid.astype(jnp.float32)).astype(rhs.dtype)
         else:
-            sol = ldlt_solve(reg.fac, rhs)
+            sol = _solve(reg.fac, rhs)
         dx = sol[:n]
         w = sol[n:] if m else jnp.zeros((0,), dtype=sol.dtype)
         dy = -w
@@ -953,13 +960,26 @@ def canonicalize_state(state):
         lambda a: jnp.asarray(a, dtype=jnp.asarray(a).dtype), state)
 
 
-def build_ipm(nlp: NLP, opts: Options):
-    """Compile-time setup: scaling, reformulation, workspace, jitted runner."""
+def build_ipm(nlp: NLP, opts: Options, mesh=None):
+    """Compile-time setup: scaling, reformulation, workspace, jitted runner.
+
+    With `ldlt_backend="distributed"` and a mesh, the KKT factorization and
+    triangular solves are sharded over `mesh` (parallel/dist_ldlt.py) — the
+    TPU analogue of the reference's MPI-parallel MUMPS inside a single
+    solve (SURVEY.md §5.8)."""
     scaled = transforms.scale_model(nlp, opts.function_scaling_threshold) \
         if opts.scale_functions else nlp
     prob = transforms.reformulate_for_interior_point(scaled, opts.tolerance)
     ws = _build_workspace(prob)
-    step = make_ipm_step(prob, ws, opts)
+    kkt_backend = None
+    if opts.ldlt_backend == "distributed":
+        if mesh is None:
+            raise ValueError("ldlt_backend='distributed' requires a mesh")
+        from uno_tpu.parallel.dist_ldlt import make_dist_kkt_backend
+        kkt_backend = make_dist_kkt_backend(
+            mesh, prob.n + ws.m, axis=mesh.axis_names[0],
+            block=opts.dist_ldlt_block)
+    step = make_ipm_step(prob, ws, opts, kkt_backend=kkt_backend)
 
     def run(state):
         return lax.while_loop(lambda s: s.status == RUNNING, step, state)
