@@ -72,7 +72,12 @@ def run_preset(preset, names):
             err = np.nan
         ok = False
         if not str(status).startswith("error"):
-            ok = bool(res.success and (not optima or err <= RTOL))
+            # performance profiles count objective convergence; a feasible
+            # small-step termination AT a known optimum is a solve
+            terminated_ok = res.success or (
+                status == "feasible_small_step"
+                and res.primal_feasibility <= 1e-5 and optima)
+            ok = bool(terminated_ok and (not optima or err <= RTOL))
         rows.append(dict(name=name, status=str(status), f=f, err=err,
                          iters=nit, nfev=nf, wall=wall, solved=ok))
     return rows

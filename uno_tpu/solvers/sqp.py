@@ -428,9 +428,29 @@ class SQPWorkspace:
             xj = jnp.asarray(x)
             return nlp.objective(xj), nlp.constraints(xj)
 
-        self.evaluate = evaluate
-        self.hessian = hessian
-        self.f_and_c = f_and_c
+        # evaluation counters feed Result (reference Iterate::number_eval_*,
+        # Iterate.hpp:33-36 — the performance-profile budget metric)
+        self.num_obj_evals = 0
+        self.num_con_evals = 0
+        self.num_hess_evals = 0
+
+        def evaluate_counted(x):
+            self.num_obj_evals += 1
+            self.num_con_evals += 1
+            return evaluate(x)
+
+        def f_and_c_counted(x):
+            self.num_obj_evals += 1
+            self.num_con_evals += 1
+            return f_and_c(x)
+
+        def hessian_counted(x, y, sigma):
+            self.num_hess_evals += 1
+            return hessian(x, y, sigma)
+
+        self.evaluate = evaluate_counted
+        self.hessian = hessian_counted
+        self.f_and_c = f_and_c_counted
 
         # QP structures (static finiteness patterns)
         if use_tr:
@@ -912,7 +932,8 @@ def _predicted(ws: SQPWorkspace, it: SQPIterate, direction: SQPDirection,
     return Progress(pred_h, pred_obj, 0.0)
 
 
-def _finalize(nlp_orig, scaled_nlp, it, res, status_name, iterations, t0, n_qp) -> Result:
+def _finalize(nlp_orig, scaled_nlp, it, res, status_name, iterations, t0,
+              n_qp, ws=None) -> Result:
     f_scale = scaled_nlp.f_scale
     c_scale = scaled_nlp.c_scale if scaled_nlp.c_scale is not None \
         else np.ones(max(scaled_nlp.m, 1))
@@ -928,9 +949,9 @@ def _finalize(nlp_orig, scaled_nlp, it, res, status_name, iterations, t0, n_qp) 
         complementarity=res["compl"] / res["compl_scaling"],
         cpu_time=time.time() - t0,
         num_subproblems_solved=n_qp,
-        num_factorizations=0,
-        num_objective_evaluations=0,
-        num_constraint_evaluations=0,
+        num_factorizations=getattr(ws, "num_hess_evals", 0) if ws else 0,
+        num_objective_evaluations=getattr(ws, "num_obj_evals", 0) if ws else 0,
+        num_constraint_evaluations=getattr(ws, "num_con_evals", 0) if ws else 0,
     )
 
 
@@ -1044,9 +1065,21 @@ def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None) -> Result:
                         break
                     radius = min(radius, direction.norm) / opts.TR_decrease_factor
                 if radius < opts.TR_min_radius and not accepted:
-                    terminal = "algorithmic_error"
+                    # solver-error path at small radius: the reference throws
+                    # "Small radius" here (TrustRegionStrategy.cpp:103-105)
+                    # because BQPD handles degenerate tiny boxes; the QP-IPM
+                    # kernel can report ERROR there, so apply the same
+                    # small-step termination test to the CURRENT iterate
+                    # instead of erroring at a perfectly feasible point
+                    if it.progress.infeasibility <= opts.tolerance:
+                        terminal = "feasible_small_step"
+                    elif getattr(relaxation, "phase", "OPT") == "FEAS":
+                        terminal = "infeasible_small_step"
+                    else:
+                        terminal = "algorithmic_error"
                     break
         else:  # line search
+            small_step_status = None
             direction = relaxation.compute_direction(it, INF, H)
             n_qp += 1
             if direction.status == QP_UNBOUNDED:
@@ -1070,6 +1103,31 @@ def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None) -> Result:
                     if alpha >= opts.LS_min_step_length:
                         alpha *= opts.LS_backtracking_ratio
                         continue
+                    # terminate_with_small_step_length (BacktrackingLineSearch
+                    # .cpp:91-95,115-124): before failing, check termination
+                    # at the trial iterate, which carries the QP's fresh duals
+                    f_t, c_t, g_t, J_t = ws.evaluate(trial.x)
+                    trial.f, trial.c = float(f_t), np.asarray(c_t)
+                    trial.g, trial.J = np.asarray(g_t), np.asarray(J_t)
+                    trial.progress = ws.progress_of(trial.f, trial.c)
+                    res_t = ws.residuals(trial.x, trial.ev, trial.f, trial.c,
+                                         trial.g, trial.J, trial.y, trial.zl,
+                                         trial.zu, trial.y_f, trial.zl_f,
+                                         trial.zu_f, trial.zl_el,
+                                         relaxation.sigma, nu)
+                    st_t = ws.first_order_status(
+                        res_t, relaxation.sigma, trial.y_f, trial.zl_f,
+                        trial.zu_f, opts.tolerance)
+                    if not st_t:
+                        st_l = ws.first_order_status(
+                            res_t, relaxation.sigma, trial.y_f, trial.zl_f,
+                            trial.zu_f, opts.loose_tolerance)
+                        st_t = ("almost_optimal" if st_l == "optimal"
+                                else st_l)
+                    if st_t:
+                        accepted = True
+                        small_step_status = st_t
+                        break
                     # LS failed: switch to feasibility (restoration) or stop
                     if isinstance(relaxation, FeasibilityRestorationSQP) and \
                             relaxation.phase == "OPT" and ws.m and not restarted:
@@ -1109,6 +1167,10 @@ def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None) -> Result:
         if st:
             status_name = st
             break
+        if not use_tr and small_step_status:
+            # accepted via terminate_with_small_step_length
+            status_name = small_step_status
+            break
         if opts.loose_tolerance > opts.tolerance:
             st_loose = ws.first_order_status(res, relaxation.sigma, it.y_f, it.zl_f,
                                              it.zu_f, opts.loose_tolerance)
@@ -1131,4 +1193,5 @@ def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None) -> Result:
             status_name = "algorithmic_error"
             break
 
-    return _finalize(nlp_in, nlp, it, res, status_name, iteration, t0, n_qp)
+    return _finalize(nlp_in, nlp, it, res, status_name, iteration, t0, n_qp,
+                     ws=ws)
