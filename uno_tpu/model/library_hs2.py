@@ -248,3 +248,77 @@ def hs117():
     return _p("hs117", f, c, x0=x0,
               x_lb=[0.0] * 15, x_ub=[INF] * 15,
               c_lb=[0.0] * 5, c_ub=[INF] * 5)
+
+
+@register("hs099", f_star=-0.831079892e9)
+def hs099():
+    # multi-stage launch vehicle ascent (recursive trajectory integration)
+    a = np.array([0.0, 50.0, 50.0, 75.0, 75.0, 75.0, 100.0, 100.0])
+    t = np.array([0.0, 25.0, 50.0, 100.0, 150.0, 200.0, 290.0, 380.0])
+    b = 32.0
+    dt = jnp.asarray(t[1:] - t[:-1])          # (7,)
+    aj = jnp.asarray(a[1:])                   # (7,)
+
+    def _rsq(x):
+        # r_i = sum a_i dt_i cos(x_{i-1})
+        return jnp.cumsum(aj * dt * jnp.cos(x))
+
+    def _s(x):
+        return jnp.cumsum((aj * jnp.sin(x) - b) * dt)
+
+    def _q(x):
+        acc = (aj * jnp.sin(x) - b)
+        s = _s(x)
+        s_prev = jnp.concatenate([jnp.zeros(1), s[:-1]])
+        return jnp.cumsum(0.5 * dt ** 2 * acc + dt * s_prev)
+
+    def f(x):
+        return -_rsq(x)[-1] ** 2
+
+    def c(x):
+        return jnp.array([_q(x)[-1] - 1.0e5, _s(x)[-1] - 1.0e3])
+
+    return _p("hs099", f, c, x0=[0.5] * 7,
+              x_lb=[0.0] * 7, x_ub=[1.58] * 7,
+              c_lb=[0.0, 0.0], c_ub=[0.0, 0.0])
+
+
+@register("hs116", f_star=97.588409)
+def hs116():
+    # 3-stage membrane separation
+    def f(x):
+        return x[10] + x[11] + x[12]
+
+    def c(x):
+        return jnp.array([
+            x[2] - x[1],
+            x[1] - x[0],
+            1.0 - 0.002 * x[6] + 0.002 * x[7],
+            x[10] + x[11] + x[12],                                    # >= 50
+            x[12] - 1.262626 * x[9] + 1.231059 * x[2] * x[9],
+            x[4] - 0.03475 * x[1] - 0.975 * x[1] * x[4]
+            + 0.00975 * x[1] ** 2,
+            x[5] - 0.03475 * x[2] - 0.975 * x[2] * x[5]
+            + 0.00975 * x[2] ** 2,
+            x[4] * x[6] - x[0] * x[7] - x[3] * x[6] + x[3] * x[7],
+            1.0 - 0.002 * (x[1] * x[8] + x[4] * x[7] - x[0] * x[7]
+                           - x[5] * x[8]) - x[4] - x[5],
+            x[1] * x[8] - x[2] * x[9] - x[5] * x[8] - 500.0 * x[1]
+            + 500.0 * x[5] + x[1] * x[9],
+            x[1] - 0.9 - 0.002 * (x[1] * x[9] - x[2] * x[9]),
+            x[3] - 0.03475 * x[0] - 0.975 * x[0] * x[3]
+            + 0.00975 * x[0] ** 2,
+            x[10] - 1.262626 * x[7] + 1.231059 * x[0] * x[7],
+            x[11] - 1.262626 * x[8] + 1.231059 * x[1] * x[8],
+            x[10] + x[11] + x[12],                                    # <= 250
+        ])
+
+    lo = [0.1, 0.1, 0.1, 0.0001, 0.1, 0.1, 0.1, 0.1, 500.0, 0.1,
+          1.0, 0.0001, 0.0001]
+    hi = [1.0, 1.0, 1.0, 0.1, 0.9, 0.9, 1000.0, 1000.0, 1000.0, 500.0,
+          150.0, 150.0, 150.0]
+    x0 = [0.5, 0.8, 0.9, 0.1, 0.14, 0.5, 489.0, 80.0, 650.0, 450.0,
+          150.0, 150.0, 150.0]
+    return _p("hs116", f, c, x0=x0, x_lb=lo, x_ub=hi,
+              c_lb=[0.0, 0.0, 0.0, 50.0] + [0.0] * 10 + [-INF],
+              c_ub=[INF] * 14 + [250.0])

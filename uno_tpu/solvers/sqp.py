@@ -484,6 +484,23 @@ class SQPWorkspace:
 
     # -- QP data builders ---------------------------------------------------
 
+    def _strip_tr_duals(self, res, x, radius, n_extra=0):
+        """Zero bound duals whose QP box side came from the TRUST REGION
+        rather than the model bound.  BQPD returns exact zeros for inactive
+        bounds, so the reference only resets the TR-ACTIVE case
+        (TrustRegionStrategy.cpp:115-130); the QP-IPM leaves z = mu/width
+        dust on every bound it saw, which the small trailing radii of a
+        rejection streak inflate to ~1e-5 — enough to stall the NLP
+        complementarity test at the solution."""
+        tr_l = (self.xl - x) < -radius          # TR side strictly tighter
+        tr_u = (self.xu - x) > radius
+        if n_extra:
+            pad = np.zeros(n_extra, dtype=bool)
+            tr_l = np.concatenate([tr_l, pad])
+            tr_u = np.concatenate([tr_u, pad])
+        return res._replace(zl=jnp.where(jnp.asarray(tr_l), 0.0, res.zl),
+                            zu=jnp.where(jnp.asarray(tr_u), 0.0, res.zu))
+
     def optimality_qp(self, x, c, g, J, H, radius):
         rl = self.cl - c
         ru = self.cu - c
@@ -498,7 +515,7 @@ class SQPWorkspace:
             warm_y=w[2] if same_x else None)
         self._warm_opt = (np.asarray(x), np.asarray(res.d), np.asarray(res.y)) \
             if int(res.status) == 0 else None
-        return res
+        return self._strip_tr_duals(res, x, radius)
 
     def relaxed_qp(self, x, ev, c, g, J, H, rho, nu, radius):
         """l1RelaxedProblem QP: variables (d, de)."""
@@ -524,7 +541,7 @@ class SQPWorkspace:
             warm_y=w[2] if same_x else None)
         self._warm_rel = (np.asarray(x), np.asarray(res.d), np.asarray(res.y)) \
             if int(res.status) == 0 else None
-        return res
+        return self._strip_tr_duals(res, x, radius, n_extra=self.n_el)
 
     # -- measures and residuals ---------------------------------------------
 
