@@ -57,12 +57,18 @@ def main():
     final = jax.block_until_ready(run(x0j, pj))
     compile_and_first = time.time() - t0
 
-    # timed runs
+    # timed: steady-state throughput over pipelined batches (blocking after
+    # every single run would charge the host->remote-chip dispatch latency
+    # (~40 ms through the tunnel) to each batch; in production, batches are
+    # enqueued back-to-back and XLA overlaps dispatch with compute)
+    reps = 5
     times = []
     for _ in range(3):
         t0 = time.time()
-        final = jax.block_until_ready(run(x0j, pj))
-        times.append(time.time() - t0)
+        for _ in range(reps):
+            final = run(x0j, pj)
+        jax.block_until_ready(final)
+        times.append((time.time() - t0) / reps)
     best = min(times)
 
     status = np.asarray(final.status)
