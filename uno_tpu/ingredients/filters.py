@@ -24,17 +24,6 @@ from jax import lax
 BIG = jnp.inf
 
 
-def _sort_pairs(h, phi):
-    """Sort (h, phi) pairs by h ascending, phi carried along.
-
-    Uses variadic `lax.sort` instead of argsort + fancy indexing: under vmap
-    the latter lowers to per-instance gathers, which are the single slowest
-    HLO on TPU for batched small arrays (measured ~2 ms per gather of a
-    (batch, capacity) array — the dominant cost of the whole batched IPM
-    before this rewrite)."""
-    return lax.sort((h, phi), dimension=-1, is_stable=True, num_keys=1)
-
-
 def _compact(h, phi, keep):
     """Stable partition: move `keep` entries to the front (relative order
     preserved), +inf padding behind.  Because the kept entries are already in

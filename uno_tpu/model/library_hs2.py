@@ -322,3 +322,51 @@ def hs116():
     return _p("hs116", f, c, x0=x0, x_lb=lo, x_ub=hi,
               c_lb=[0.0, 0.0, 0.0, 50.0] + [0.0] * 10 + [-INF],
               c_ub=[INF] * 14 + [250.0])
+
+
+def _hs101_family(name, a):
+    # posynomial process design; hs101/102/103 differ in the exponent a
+    def f(x):
+        return (10.0 * x[0] * x[3] ** 2 * x[6] ** a / (x[1] * x[5] ** 3)
+                + 15.0 * x[2] * x[3] / (x[0] * x[1] ** 2 * x[4]
+                                        * x[6] ** 0.5)
+                + 20.0 * x[1] * x[5] / (x[0] ** 2 * x[3] * x[4] ** 2)
+                + 25.0 * x[0] ** 2 * x[1] ** 2 * x[4] ** 0.5 * x[6]
+                / (x[2] * x[5] ** 2))
+
+    def c(x):
+        c1 = (1.0
+              - 0.5 * x[0] ** 0.5 * x[6] / (x[2] * x[5] ** 2)
+              - 0.7 * x[0] ** 3 * x[1] * x[5] * x[6] ** 0.5 / x[2] ** 2
+              - 0.2 * x[2] * x[5] ** (2.0 / 3.0) * x[6] ** 0.25
+              / (x[1] * x[3] ** 0.5))
+        c2 = (1.0
+              - 1.3 * x[1] * x[5] / (x[0] ** 0.5 * x[2] * x[4])
+              - 0.8 * x[2] * x[5] ** 2 / (x[3] * x[4])
+              - 3.1 * x[1] ** 0.5 * x[5] ** (1.0 / 3.0)
+              / (x[0] * x[3] ** 2 * x[4]))
+        c3 = (1.0
+              - 2.0 * x[0] * x[4] * x[6] ** (1.0 / 3.0)
+              / (x[2] ** 1.5 * x[5])
+              - 0.1 * x[1] * x[4] / (x[2] ** 0.5 * x[5] * x[6] ** 0.5)
+              - x[1] * x[2] ** 0.5 * x[4] / x[0]
+              - 0.65 * x[2] * x[4] * x[6] / (x[1] ** 2 * x[5]))
+        c4 = (1.0
+              - 0.2 * x[1] * x[4] ** 0.5 * x[6] ** (1.0 / 3.0)
+              / (x[0] ** 2 * x[3])
+              - 0.3 * x[0] ** 0.5 * x[1] ** 2 * x[2] * x[3] ** (1.0 / 3.0)
+              * x[6] ** 0.25 / x[4] ** (2.0 / 3.0)
+              - 0.4 * x[2] * x[4] * x[6] ** 0.75
+              / (x[0] ** 3 * x[1] ** 2)
+              - 0.5 * x[3] * x[6] ** 0.5 / x[2] ** 2)
+        return jnp.array([c1, c2, c3, c4, f(x)])
+
+    return _p(name, f, c, x0=[6.0] * 7,
+              x_lb=[0.1] * 6 + [0.01], x_ub=[10.0] * 7,
+              c_lb=[0.0, 0.0, 0.0, 0.0, 100.0],
+              c_ub=[INF, INF, INF, INF, 3000.0])
+
+
+@register("hs101", f_star=1809.76476)
+def hs101():
+    return _hs101_family("hs101", -0.25)
