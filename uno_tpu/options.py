@@ -148,6 +148,8 @@ class Options:
     ldlt_backend: str = "auto"       # auto | xla | pallas | distributed
     ldlt_block_size: int = 32        # blocked LDL^T panel width
     dist_ldlt_block: int = 64        # distributed-KKT panel width (per chip)
+    kkt_formulation: str = "augmented"   # | "lifted" (condensed Cholesky)
+    lifted_kkt_relaxation: float = 1e-8  # tau; use ~1e-5 with f32 factors
     bound_infinity: float = 1e20     # |bound| >= this is treated as infinite
 
     def replace(self, **kwargs) -> "Options":

@@ -979,6 +979,10 @@ def build_ipm(nlp: NLP, opts: Options, mesh=None):
         kkt_backend = make_dist_kkt_backend(
             mesh, prob.n + ws.m, axis=mesh.axis_names[0],
             block=opts.dist_ldlt_block)
+    elif opts.kkt_formulation == "lifted":
+        from uno_tpu.linalg.condensed import make_lifted_kkt_backend
+        kkt_backend = make_lifted_kkt_backend(
+            prob.n, ws.m, tau=opts.lifted_kkt_relaxation)
     step = make_ipm_step(prob, ws, opts, kkt_backend=kkt_backend)
 
     def run(state):
