@@ -132,12 +132,14 @@ def hs096():
     return _hs095_family("hs096", (4.97, -1.88, -69.08, -118.02))
 
 
-@register("hs097", f_star=3.1358091)
+@register("hs097", f_star=3.1358091,
+          local_optima=(4.0712463565,))
 def hs097():
     return _hs095_family("hs097", (32.97, 25.12, -29.08, -78.02))
 
 
-@register("hs098", f_star=3.1358091)
+@register("hs098", f_star=3.1358091,
+          local_optima=(4.0712463565,))
 def hs098():
     return _hs095_family("hs098", (32.97, 25.12, -124.08, -173.03))
 
