@@ -175,3 +175,42 @@ def test_time_limit_respected():
     nlp = chained_rosenbrock(60)
     res = uno_tpu.solve(nlp, preset="ipopt", time_limit=1e-9)
     assert res.status == "time_limit"
+
+
+def test_history_returned():
+    """solve_ipm(history=True) returns the per-iteration state trace
+    (Result.history), one IPMState per accepted iterate + the initial one."""
+    res = uno_tpu.solve(get_problem("hs015"), preset="ipopt", history=True)
+    assert res.success
+    assert res.history is not None
+    assert len(res.history) == res.iterations + 1
+    # the trace is usable: mu is monotonically non-increasing (monotone
+    # Fiacco-McCormick schedule, BarrierParameterUpdateStrategy.cpp:33-63)
+    mus = [float(s.mu) for s in res.history]
+    assert all(b <= a + 1e-12 for a, b in zip(mus, mus[1:]))
+
+
+def test_user_callbacks_all_hooks():
+    """All three UserCallbacks hooks fire (tools/UserCallbacks.hpp:13-31):
+    notify_new_primals/notify_new_multipliers per accepted iterate,
+    notify_acceptable_iterate at the end."""
+    from uno_tpu.utils.callbacks import RecordingCallbacks
+
+    calls = {"primals": 0, "multipliers": 0, "acceptable": 0}
+
+    class Probe(RecordingCallbacks):
+        def notify_new_primals(self, primals):
+            calls["primals"] += 1
+
+        def notify_new_multipliers(self, multipliers):
+            calls["multipliers"] += 1
+            assert multipliers.shape == (2,)
+
+        def notify_acceptable_iterate(self, primals, multipliers, om):
+            calls["acceptable"] += 1
+
+    res = uno_tpu.solve(get_problem("hs015"), preset="ipopt", callbacks=Probe())
+    assert res.success
+    assert calls["primals"] == res.iterations
+    assert calls["multipliers"] == res.iterations
+    assert calls["acceptable"] == 1

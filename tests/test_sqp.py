@@ -84,3 +84,29 @@ def test_hessian_model_identity_sqp():
                         hessian_model="identity", max_iterations=500)
     assert res.success
     assert abs(res.objective - (-99.96)) < 1e-2
+
+
+def test_sqp_history_and_callbacks():
+    """solve_sqp(history=True) returns the accepted-iterate trace, and all
+    three UserCallbacks hooks fire (tools/UserCallbacks.hpp:13-31)."""
+    from uno_tpu.model.library import get_problem
+
+    calls = {"primals": 0, "multipliers": 0, "acceptable": 0}
+
+    class Probe:
+        def notify_new_primals(self, primals):
+            calls["primals"] += 1
+
+        def notify_new_multipliers(self, multipliers):
+            calls["multipliers"] += 1
+
+        def notify_acceptable_iterate(self, primals, multipliers, om):
+            calls["acceptable"] += 1
+
+    res = uno_tpu.solve(get_problem("hs015"), preset="filtersqp",
+                        callbacks=Probe(), history=True)
+    assert res.success
+    assert res.history is not None and len(res.history) >= 2
+    assert calls["primals"] >= 1
+    assert calls["multipliers"] >= 1
+    assert calls["acceptable"] >= 1

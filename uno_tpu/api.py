@@ -9,7 +9,7 @@ from uno_tpu.model.nlp import NLP
 
 
 def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = None,
-          callbacks=None, **overrides):
+          callbacks=None, history=False, **overrides):
     """Solve an NLP. Returns a Result.
 
     Either pass `options`, or a `preset` name ("ipopt", "filtersqp", "byrd",
@@ -27,7 +27,7 @@ def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = N
                 "The interior-point subproblem does not support a trust "
                 "region; use globalization_mechanism='LS'")
         from uno_tpu.solvers.ipm import solve_ipm
-        return solve_ipm(nlp, options, callbacks=callbacks)
+        return solve_ipm(nlp, options, callbacks=callbacks, history=history)
     else:
         from uno_tpu.solvers.sqp import solve_sqp
-        return solve_sqp(nlp, options, callbacks=callbacks)
+        return solve_sqp(nlp, options, callbacks=callbacks, history=history)

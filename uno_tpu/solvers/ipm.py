@@ -941,6 +941,8 @@ class Result:
     num_factorizations: int
     num_objective_evaluations: int
     num_constraint_evaluations: int
+    # per-iteration IPMState trace, populated by solve_ipm(history=True)
+    history: list | None = None
 
     @property
     def success(self) -> bool:
@@ -1034,6 +1036,14 @@ def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
                 stats.print_current_line()
             if callbacks is not None and hasattr(callbacks, "notify_new_primals"):
                 callbacks.notify_new_primals(np.asarray(s.x)[: nlp.n])
+            if callbacks is not None and hasattr(callbacks, "notify_new_multipliers"):
+                # constraint duals in original-model scaling (reference calls
+                # notify_new_multipliers alongside notify_new_primals per
+                # accepted iterate, Uno.cpp:73-74)
+                cs = prob.c_scale if prob.c_scale is not None else np.ones(max(ws.m, 1))
+                callbacks.notify_new_multipliers(
+                    np.asarray(s.y)[: nlp.m] * cs[: nlp.m] / prob.f_scale
+                    if nlp.m else np.zeros(0))
             # wall-clock termination (reference Timer/time_limit, Uno.cpp:61):
             # a traced while_loop cannot read the clock, so a finite
             # time_limit routes through this stepwise driver
@@ -1044,10 +1054,8 @@ def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
         if verbose:
             stats.print_footer()
         final = s
-        if history:
-            final = s
-            final_trace = trace
     else:
+        trace = None
         final = jax.block_until_ready(run(state0))
     elapsed = time.time() - t0
 
@@ -1074,4 +1082,5 @@ def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
         num_factorizations=int(final.num_factorizations),
         num_objective_evaluations=int(final.num_obj_evals),
         num_constraint_evaluations=int(final.num_con_evals),
+        history=trace,
     )

@@ -25,6 +25,7 @@ globalization handles step quality either way).
 
 from __future__ import annotations
 
+import copy
 import time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -809,9 +810,10 @@ class L1RelaxationSQP:
         return res
 
     def _linearized_residual(self, it, dx, dev):
-        c_lin = it.c + (it.J @ dx if self.ws.m else 0.0) + self.ws.E @ (dev * 0.0)
-        # linearized violation of the MODEL constraints (reference uses
-        # evaluations.constraints + jacobian * direction, l1Relaxation.cpp:118)
+        # linearized violation of the MODEL constraints only — elastics do
+        # not enter (reference: evaluations.constraints + jacobian *
+        # direction.primals, l1Relaxation.cpp:114-115)
+        del dev
         return self.ws.violation(it.c + (it.J @ dx if self.ws.m else 0.0), "L1")
 
     def compute_direction(self, it: SQPIterate, radius, H_unused) -> SQPDirection:
@@ -950,7 +952,7 @@ def _predicted(ws: SQPWorkspace, it: SQPIterate, direction: SQPDirection,
 
 
 def _finalize(nlp_orig, scaled_nlp, it, res, status_name, iterations, t0,
-              n_qp, ws=None) -> Result:
+              n_qp, ws=None, trace=None) -> Result:
     f_scale = scaled_nlp.f_scale
     c_scale = scaled_nlp.c_scale if scaled_nlp.c_scale is not None \
         else np.ones(max(scaled_nlp.m, 1))
@@ -969,10 +971,12 @@ def _finalize(nlp_orig, scaled_nlp, it, res, status_name, iterations, t0,
         num_factorizations=getattr(ws, "num_hess_evals", 0) if ws else 0,
         num_objective_evaluations=getattr(ws, "num_obj_evals", 0) if ws else 0,
         num_constraint_evaluations=getattr(ws, "num_con_evals", 0) if ws else 0,
+        history=trace,
     )
 
 
-def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None) -> Result:
+def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None,
+              history=False) -> Result:
     t0 = time.time()
     nlp = transforms.scale_model(nlp_in, opts.function_scaling_threshold) \
         if opts.scale_functions else nlp_in
@@ -997,6 +1001,7 @@ def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None) -> Result:
     it.f, it.c, it.g, it.J = float(f), np.asarray(c), np.asarray(g), np.asarray(J)
     it.progress = ws.progress_of(it.f, it.c)
     strategy.initialize(it.progress)
+    trace = [copy.deepcopy(it)] if history else None
 
     nu = opts.l1_constraint_violation_coefficient
     res = ws.residuals(it.x, it.ev, it.f, it.c, it.g, it.J, it.y, it.zl, it.zu,
@@ -1166,6 +1171,12 @@ def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None) -> Result:
             it.progress = ws.progress_of(it.f, it.c)
             if callbacks is not None and hasattr(callbacks, "notify_acceptable_iterate"):
                 callbacks.notify_acceptable_iterate(it.x, it.y, relaxation.sigma)
+            if callbacks is not None and hasattr(callbacks, "notify_new_primals"):
+                callbacks.notify_new_primals(it.x[: nlp_in.n].copy())
+            if callbacks is not None and hasattr(callbacks, "notify_new_multipliers"):
+                callbacks.notify_new_multipliers(it.y[: nlp_in.m].copy())
+            if history:
+                trace.append(copy.deepcopy(it))
 
         res = ws.residuals(it.x, it.ev, it.f, it.c, it.g, it.J, it.y, it.zl, it.zu,
                            it.y_f, it.zl_f, it.zu_f, it.zl_el, relaxation.sigma, nu)
@@ -1211,4 +1222,4 @@ def solve_sqp(nlp_in: NLP, opts: Options, callbacks=None) -> Result:
             break
 
     return _finalize(nlp_in, nlp, it, res, status_name, iteration, t0, n_qp,
-                     ws=ws)
+                     ws=ws, trace=trace)
