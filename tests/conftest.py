@@ -21,6 +21,52 @@ jax.config.update("jax_enable_x64", True)
 # compiled on the machine that populated them — the remote TPU host has
 # different CPU features, and loading its AOT results here SIGILLs
 # (cpu_aot_loader "machine type doesn't match" -> fatal signal mid-suite).
+# key the cache directory by a host-CPU fingerprint: XLA:CPU AOT entries are
+# machine-specific, and the TPU-host machine shares this repo checkout — its
+# entries loaded here trip "machine type doesn't match" AOT errors (and can
+# SIGILL).
+import hashlib  # noqa: E402
+
+def _cpu_fingerprint():
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"))
+                  os.path.join(os.path.dirname(__file__), "..",
+                               f".jax_cache_cpu_{_cpu_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# ---------------------------------------------------------------------------
+# slow tier: full-library sweeps (97-problem e2e, scipy cross-validation)
+# run with `pytest --runslow`; the default run keeps a representative core
+# subset so the suite stays under ~5 minutes (tools/sweep.py still covers
+# the full library out-of-band).
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run slow full-library tests")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-library sweep tests (deselected by default)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow tier: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

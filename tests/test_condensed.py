@@ -16,8 +16,10 @@ from uno_tpu.linalg.condensed import make_lifted_kkt_backend
 from uno_tpu.model.library import acceptable_optima, get_problem
 
 
-@pytest.mark.parametrize("name", ["hs015", "hs071", "hs100", "hs038",
-                                  "rosenbrock_eq"])
+@pytest.mark.parametrize(
+    "name", ["hs015", "hs071", "rosenbrock_eq",
+             pytest.param("hs100", marks=pytest.mark.slow),
+             pytest.param("hs038", marks=pytest.mark.slow)])
 def test_lifted_matches_augmented(name):
     r_aug = uno_tpu.solve(get_problem(name), preset="ipopt")
     r_lift = uno_tpu.solve(get_problem(name), preset="ipopt",

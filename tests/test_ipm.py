@@ -16,6 +16,15 @@ from uno_tpu.model.library import (acceptable_optima, get_problem,
 
 ALL = problem_names()
 
+# Representative core subset for the default (fast) suite run: covers
+# equality/inequality/bound-only/degenerate/minimax/larger-n structures.
+# The full 97-problem sweep runs under --runslow (and via tools/sweep.py).
+CORE = {
+    "hs013", "hs014", "hs015", "hs016", "hs020", "hs023", "hs035", "hs038",
+    "hs044", "hs048", "hs055", "hs061", "hs071", "hs076", "hs083", "hs093",
+    "hs099", "hs100", "hs104", "hs108", "hs111", "hs116", "hs118", "polak5",
+}
+
 
 # Problems whose constraint qualification fails at the solution: first-order
 # methods stall slightly short of the optimum (IPOPT-class behavior); accept
@@ -23,7 +32,9 @@ ALL = problem_names()
 DEGENERATE_TOL = {"hs013": 1e-2}
 
 
-@pytest.mark.parametrize("name", ALL)
+@pytest.mark.parametrize(
+    "name", [n if n in CORE else pytest.param(n, marks=pytest.mark.slow)
+             for n in ALL])
 def test_ipopt_preset(name):
     nlp = get_problem(name)
     res = uno_tpu.solve(nlp, preset="ipopt")

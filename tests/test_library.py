@@ -56,7 +56,13 @@ def test_problem_wellformed(name):
         assert np.all(np.isfinite(np.asarray(J0)))
 
 
-@pytest.mark.parametrize("name", [n for n in ALL if n not in SLSQP_SKIP])
+_SCIPY_CORE = {"hs014", "hs015", "hs035", "hs038", "hs048", "hs071", "hs100",
+               "hs113"}
+
+
+@pytest.mark.parametrize(
+    "name", [n if n in _SCIPY_CORE else pytest.param(n, marks=pytest.mark.slow)
+             for n in ALL if n not in SLSQP_SKIP])
 def test_optimum_reproducible_by_scipy(name):
     from scipy.optimize import NonlinearConstraint, minimize
 

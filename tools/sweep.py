@@ -11,9 +11,17 @@ the same metrics the reference's performance profile is built from.
 Usage:
   python tools/sweep.py [preset ...]          # default: all five presets
   python tools/sweep.py ipopt --slice 0:48    # problems [0, 48) only
+  python tools/sweep.py --out SWEEP.json     # also write the full rows
+  python tools/sweep.py --max-n 200          # skip instances with n+m > N
   JAX_PLATFORMS=cpu python tools/sweep.py     # force CPU
 
 Prints a per-preset table and a JSON summary line.
+
+The SQP presets (host-orchestrated numpy outer loops over dense QP solves)
+are size-capped at n+m <= 150 by default — the scalable CUTEst families go
+to n=1000, which only the fused IPM path is meant to take (the reference's
+own benchmark set is small problems; SURVEY.md §6). Override with
+--sqp-cap N.
 """
 
 import json
@@ -50,10 +58,14 @@ MAX_ITER = {"ipopt": 2000, "filtersqp": 500, "funnelsqp": 500,
             "byrd": 500, "filterslp": 500}
 
 
-def run_preset(preset, names):
+def run_preset(preset, names, sqp_cap=150, max_n=None):
     rows = []
     for name in names:
         nlp = get_problem(name)
+        if max_n is not None and nlp.n + nlp.m > max_n:
+            continue
+        if preset != "ipopt" and nlp.n + nlp.m > sqp_cap:
+            continue
         t0 = time.perf_counter()
         try:
             res = uno_tpu.solve(nlp, preset=preset,
@@ -86,15 +98,29 @@ def run_preset(preset, names):
 def main():
     argv = sys.argv[1:]
     names = problem_names()
-    if "--slice" in argv:
-        i = argv.index("--slice")
-        start, stop = argv[i + 1].split(":")
+
+    def popopt(flag, default=None):
+        if flag in argv:
+            i = argv.index(flag)
+            val = argv[i + 1]
+            del argv[i:i + 2]
+            return val
+        return default
+
+    sl = popopt("--slice")
+    out_file = popopt("--out")
+    max_n = popopt("--max-n")
+    max_n = int(max_n) if max_n else None
+    sqp_cap = int(popopt("--sqp-cap", "150"))
+    if sl:
+        start, stop = sl.split(":")
         names = names[int(start):int(stop)]
-        argv = argv[:i] + argv[i + 2:]
     presets = argv or list(PRESETS)
     summary = {}
+    all_rows = {}
     for preset in presets:
-        rows = run_preset(preset, names)
+        rows = run_preset(preset, names, sqp_cap=sqp_cap, max_n=max_n)
+        all_rows[preset] = rows
         solved = [r for r in rows if r["solved"]]
         print(f"\n== {preset}: {len(solved)}/{len(rows)} solved "
               f"(rtol {RTOL} vs known optima) ==")
@@ -109,6 +135,10 @@ def main():
             if solved else None,
         }
     print("\n" + json.dumps({"sweep": summary}))
+    if out_file:
+        with open(out_file, "w") as fh:
+            json.dump({"summary": summary, "rows": all_rows}, fh, indent=1)
+        print(f"wrote {out_file}")
 
 
 if __name__ == "__main__":

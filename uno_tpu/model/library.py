@@ -432,3 +432,4 @@ def scalable_quadratic(n: int, m: int, seed: int = 0) -> NLP:
 # Extended Hock-Schittkowski sets (register into the same registry).
 from uno_tpu.model import library_hs  # noqa: E402,F401  (isort: skip)
 from uno_tpu.model import library_hs2  # noqa: E402,F401  (isort: skip)
+from uno_tpu.model import library_cutest  # noqa: E402,F401  (isort: skip)

@@ -372,3 +372,13 @@ def _hs101_family(name, a):
 @register("hs101", f_star=1809.76476)
 def hs101():
     return _hs101_family("hs101", -0.25)
+
+
+@register("hs102", f_star=911.880571)
+def hs102():
+    return _hs101_family("hs102", 0.125)
+
+
+@register("hs103", f_star=543.667958)
+def hs103():
+    return _hs101_family("hs103", 0.5)
