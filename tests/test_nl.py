@@ -234,3 +234,57 @@ def _swap_binary_body(body: bytes) -> bytes:
         else:
             raise ValueError(f"unexpected segment {seg!r}")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# generated scalable fixtures (tests/fixtures/nl, tools/gen_nl_fixtures.py):
+# the ASL-replacement path exercised at scale (text AND binary formats)
+# ---------------------------------------------------------------------------
+
+LOCAL_FIXTURES = Path(__file__).parent / "fixtures" / "nl"
+_GEN = sorted(p.name[:-3] for p in LOCAL_FIXTURES.glob("*.nl")
+              if not p.name.endswith(".bin.nl")) if LOCAL_FIXTURES.exists() else []
+
+
+@pytest.mark.parametrize("stem", _GEN)
+def test_generated_fixture_text_binary_agree(stem):
+    nl_t = read_nl(LOCAL_FIXTURES / f"{stem}.nl")
+    nl_b = read_nl(LOCAL_FIXTURES / f"{stem}.bin.nl")
+    assert nl_t.n == nl_b.n and nl_t.m == nl_b.m
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        x = jnp.asarray(rng.uniform(-1.5, 1.5, nl_t.n))
+        assert np.isclose(float(nl_t.objective(x)), float(nl_b.objective(x)),
+                          rtol=1e-14)
+        if nl_t.m:
+            assert np.allclose(np.asarray(nl_t.constraints(x)),
+                               np.asarray(nl_b.constraints(x)), rtol=1e-14)
+
+
+@pytest.mark.parametrize("fam,n", [("srosenbr", 10), ("lukvle1", 10),
+                                   ("sphere_proj", 10), ("catena", 8)])
+def test_generated_fixture_matches_library(fam, n):
+    """The .nl expression graph evaluates identically to the analytic
+    library builder of the same family."""
+    from uno_tpu.model import library_cutest as lc
+
+    nl = read_nl(LOCAL_FIXTURES / f"{fam}_n{n}.nl")
+    # catena fixtures are named by joint-variable count nv = 2(K-1) with
+    # K = n_request // 2: the n8 fixture corresponds to a size-10 request
+    ref = lc.cutest_problem(fam, n if fam != "catena" else 10)
+    assert nl.n == ref.n and nl.m == ref.m
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        x = jnp.asarray(rng.uniform(-1, 1, nl.n))
+        assert np.isclose(float(nl.objective(x)), float(ref.objective(x)),
+                          rtol=1e-11), fam
+        if nl.m:
+            assert np.allclose(np.asarray(nl.constraints(x)),
+                               np.asarray(ref.constraints(x)), rtol=1e-11)
+
+
+def test_solve_generated_fixture_e2e():
+    nl = read_nl(LOCAL_FIXTURES / "chained_rosenbrock_n10.nl")
+    res = uno_tpu.solve(nl, preset="ipopt")
+    assert res.success
+    assert res.objective < 1e-8  # f* = 0 at x = 1 (feasible: ||1||^2 = n)

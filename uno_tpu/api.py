@@ -29,5 +29,18 @@ def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = N
         from uno_tpu.solvers.ipm import solve_ipm
         return solve_ipm(nlp, options, callbacks=callbacks, history=history)
     else:
+        driver = options.sqp_driver
+        if driver == "auto":
+            # the fused lax.while_loop driver covers the TR +
+            # feasibility-restoration family (filtersqp/funnelsqp/filterslp);
+            # LS mechanisms and l1-relaxation steering (byrd) run on the
+            # host driver
+            driver = ("fused" if options.globalization_mechanism == "TR"
+                      and options.constraint_relaxation_strategy
+                      == "feasibility_restoration" else "host")
+        if driver == "fused":
+            from uno_tpu.solvers.sqp_fused import solve_sqp_fused
+            return solve_sqp_fused(nlp, options, callbacks=callbacks,
+                                   history=history)
         from uno_tpu.solvers.sqp import solve_sqp
         return solve_sqp(nlp, options, callbacks=callbacks, history=history)

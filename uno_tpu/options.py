@@ -149,6 +149,11 @@ class Options:
     ldlt_block_size: int = 32        # blocked LDL^T panel width
     dist_ldlt_block: int = 64        # distributed-KKT panel width (per chip)
     kkt_formulation: str = "augmented"   # | "lifted" (condensed Cholesky)
+    # SQP driver: "fused" = single lax.while_loop state machine (jittable,
+    # vmappable — solvers/sqp_fused.py); "host" = Python outer loop with
+    # jitted kernels (solvers/sqp.py); "auto" = fused for the TR +
+    # feasibility-restoration family, host otherwise
+    sqp_driver: str = "auto"
     lifted_kkt_relaxation: float = 1e-8  # tau; use ~1e-5 with f32 factors
     bound_infinity: float = 1e20     # |bound| >= this is treated as infinite
 

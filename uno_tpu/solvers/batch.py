@@ -49,7 +49,8 @@ class BatchResult:
                           | (self.status == ipm_mod.ALMOST_OPTIMAL)))
 
     def status_names(self):
-        return [STATUS_NAMES[int(s)] for s in self.status]
+        from uno_tpu.solvers.sqp_fused import SQP_STATUS_NAMES
+        return [SQP_STATUS_NAMES[int(s)] for s in self.status]
 
 
 def build_batch_ipm(nlp: NLP, opts: Options, params_example=None,
@@ -75,11 +76,17 @@ def build_batch_ipm(nlp: NLP, opts: Options, params_example=None,
         s0 = canonicalize_state(make_initial_state(prob, ws, opts, x0=x0_full, params=params))
         return lax.while_loop(lambda s: s.status == RUNNING, step, s0)
 
-    if not batch_last:
-        return prob, jax.jit(jax.vmap(solve_one))
+    return prob, _vmap_solver(solve_one, nlp.n, params_example, batch_last)
 
-    # axes trees: batch over the trailing axis of every input/output leaf
-    x0_spec = jax.ShapeDtypeStruct((nlp.n,), jnp.float64)
+
+def _vmap_solver(solve_one, n, params_example, batch_last):
+    """vmap solve_one(x0, params) with the batch over the TRAILING axis of
+    every leaf (see build_batch_ipm layout rationale); callers still pass and
+    receive batch-first."""
+    if not batch_last:
+        return jax.jit(jax.vmap(solve_one))
+
+    x0_spec = jax.ShapeDtypeStruct((n,), jnp.float64)
     p_spec = None if params_example is None else jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(jnp.asarray(a).shape, jnp.asarray(a).dtype),
         params_example)
@@ -99,19 +106,53 @@ def build_batch_ipm(nlp: NLP, opts: Options, params_example=None,
             lambda a: jnp.moveaxis(a, -1, 0) if hasattr(a, "ndim") and a.ndim else a,
             final)
 
-    return prob, run
+    return run
 
 
-def solve_batch(nlp: NLP, opts: Options, x0_batch, params_batch=None) -> BatchResult:
-    """Solve a batch of instances; returns aggregated results."""
+def build_batch_sqp(nlp: NLP, opts: Options, params_example=None,
+                    batch_last: bool = True):
+    """Batched (vmapped) fused SQP: every TR+filter/funnel preset
+    (filtersqp, funnelsqp, filterslp) rides the same batch axis as the IPM
+    (VERDICT round-1 item 3).  Returns (prob, run) like build_batch_ipm."""
+    from uno_tpu.solvers.sqp_fused import (build_sqp_fused,
+                                           make_initial_sqp_state)
+    from uno_tpu.solvers.ipm import canonicalize_state
+
+    prob, ws, step, _ = build_sqp_fused(nlp, opts)
+
+    def solve_one(x0, params):
+        s0 = canonicalize_state(
+            make_initial_sqp_state(prob, ws, opts, x0=x0, params=params))
+        return lax.while_loop(lambda s: s.status == RUNNING, step, s0)
+
+    return prob, _vmap_solver(solve_one, nlp.n, params_example, batch_last)
+
+
+def solve_batch(nlp: NLP, opts: Optional[Options] = None, x0_batch=None,
+                params_batch=None, preset: Optional[str] = None,
+                **overrides) -> BatchResult:
+    """Solve a batch of instances; returns aggregated results.
+
+    Accepts either an Options object or a preset name with overrides —
+    `solve_batch(nlp, x0_batch=..., preset="filtersqp")` batches the fused
+    SQP path exactly like the ipopt preset batches the IPM."""
+    if opts is None:
+        from uno_tpu.options import preset as _preset
+        opts = _preset(preset or "ipopt", **overrides)
+    elif overrides:
+        opts = opts.replace(**overrides)
     t0 = time.time()
     x0_batch = jnp.asarray(x0_batch)
     B = x0_batch.shape[0]
     if params_batch is None and nlp.params is not None:
         params_batch = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (B,) + jnp.asarray(a).shape), nlp.params)
-    prob, run = build_batch_ipm(nlp, opts, params_example=None if params_batch is None
-                                else jax.tree_util.tree_map(lambda a: a[0], params_batch))
+    p_ex = None if params_batch is None else \
+        jax.tree_util.tree_map(lambda a: a[0], params_batch)
+    if opts.inequality_handling_method == "inequality_constrained":
+        prob, run = build_batch_sqp(nlp, opts, params_example=p_ex)
+    else:
+        prob, run = build_batch_ipm(nlp, opts, params_example=p_ex)
     final = jax.block_until_ready(run(x0_batch, params_batch))
     elapsed = time.time() - t0
 

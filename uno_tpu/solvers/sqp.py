@@ -596,8 +596,11 @@ class SQPWorkspace:
         bc_f = np.where(self.has_xl & (zl_f > 0), zl_f * (x - self.xl), 0.0) + \
             np.where(self.has_xu & (zu_f < 0), zu_f * (x - self.xu), 0.0)
         el_compl = np.where(zl_el > 0, zl_el * ev, 0.0)
+        # feasibility-problem complementarity uses the RELAXED constraints
+        # c + E e (the l1RelaxedProblem view, l1RelaxedProblem.cpp:67-86)
+        c_rel = c + self.E @ ev if self.n_el else c
         feas_compl = _norm(np.concatenate(
-            [bc_f, el_compl, self.constraint_complementarity(c, y_f)]), rn)
+            [bc_f, el_compl, self.constraint_complementarity(c_rel, y_f)]), rn)
 
         nb = int(nlp.has_x_lb.sum() + nlp.has_x_ub.sum())
         thr = o.residual_scaling_threshold
