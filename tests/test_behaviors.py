@@ -83,3 +83,231 @@ def test_equality_and_inequality_duals_signs():
     assert np.allclose(res.x, [0.5, 0.5], atol=1e-7)
     assert abs(res.y[0] - 1.0) < 1e-6
     assert abs(res.y[1]) < 1e-6
+
+
+ALL_PRESETS = ["ipopt", "filtersqp", "byrd", "funnelsqp", "filterslp"]
+SQP_PRESETS = ["filtersqp", "byrd", "funnelsqp"]
+
+
+# ---------------------------------------------------------------------------
+# dual sign conventions per constraint sense (MOI.Test surface: the exact
+# conventions the reference's postprocess_solution guarantees)
+# ---------------------------------------------------------------------------
+
+def _sense_problem(sense):
+    """min (x-2)^2 with one active constraint of the given sense at x*=1."""
+    if sense == "geq":     # c(x) = 3 - 2x >= 1  ->  x <= 1, active at 1
+        c = lambda x: jnp.array([3.0 - 2.0 * x[0]])
+        cl, cu = [1.0], [INF]
+    elif sense == "leq":   # c(x) = 2x <= 2 -> x <= 1
+        c = lambda x: jnp.array([2.0 * x[0]])
+        cl, cu = [-INF], [2.0]
+    else:                  # eq: 2x = 2
+        c = lambda x: jnp.array([2.0 * x[0]])
+        cl, cu = [2.0], [2.0]
+    return nlp_from_functions(
+        f"sense_{sense}", lambda x: (x[0] - 2.0) ** 2, c,
+        x0=np.array([0.0]), c_lb=np.array(cl), c_ub=np.array(cu))
+
+
+@pytest.mark.parametrize("preset", ["ipopt", "filtersqp"])
+@pytest.mark.parametrize("sense", ["geq", "leq", "eq"])
+def test_dual_signs_per_sense(sense, preset):
+    """Uno convention: grad f = J^T y + zl + zu at the solution; y >= 0 for
+    active >=-constraints, y <= 0 for active <=-constraints, free for =."""
+    res = uno_tpu.solve(_sense_problem(sense), preset=preset)
+    assert res.success, (sense, preset, res.status)
+    assert abs(res.x[0] - 1.0) < 1e-5
+    # stationarity with the returned multiplier: 2(x-2) - J^T y = 0
+    J = -2.0 if sense == "geq" else 2.0
+    y = res.y[0]
+    assert abs(2.0 * (res.x[0] - 2.0) - J * y) < 1e-4, (sense, preset, y)
+    if sense == "geq":
+        assert y >= -1e-8
+    elif sense == "leq":
+        assert y <= 1e-8
+
+
+@pytest.mark.parametrize("preset", ["ipopt", "filtersqp"])
+@pytest.mark.parametrize("side", ["lower", "upper"])
+def test_bound_dual_signs(side, preset):
+    """zl >= 0 on active lower bounds, zu <= 0 on active upper bounds."""
+    if side == "lower":
+        nlp = nlp_from_functions(
+            "bl", lambda x: (x[0] - (-2.0)) ** 2, None, x0=np.array([0.5]),
+            x_lb=np.array([0.0]), x_ub=np.array([INF]))
+        res = uno_tpu.solve(nlp, preset=preset)
+        assert res.success and abs(res.x[0]) < 1e-6
+        assert res.zl[0] > 1e-3       # = grad at bound = 4
+        assert abs(res.zl[0] - 4.0) < 1e-3
+    else:
+        nlp = nlp_from_functions(
+            "bu", lambda x: (x[0] - 2.0) ** 2, None, x0=np.array([0.5]),
+            x_lb=np.array([-INF]), x_ub=np.array([1.0]))
+        res = uno_tpu.solve(nlp, preset=preset)
+        assert res.success and abs(res.x[0] - 1.0) < 1e-6
+        assert res.zu[0] < -1e-3
+        assert abs(res.zu[0] + 2.0) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# infeasibility / unboundedness detection across presets
+# ---------------------------------------------------------------------------
+
+def _infeasible_nlp():
+    return nlp_from_functions(
+        "infeas", lambda x: x[0], lambda x: jnp.array([x[0] ** 2 + 1.0]),
+        x0=np.array([1.0]), c_lb=np.array([-INF]), c_ub=np.array([0.0]))
+
+
+def _infeasible_lp():
+    # x >= 1 and x <= -1 simultaneously (as general constraints)
+    return nlp_from_functions(
+        "infeas_lp", lambda x: x[0],
+        lambda x: jnp.array([x[0], -x[0]]),
+        x0=np.array([0.0]),
+        c_lb=np.array([1.0, 1.0]), c_ub=np.array([INF, INF]))
+
+
+@pytest.mark.parametrize("preset", ALL_PRESETS)
+def test_infeasible_nlp_detected(preset):
+    res = uno_tpu.solve(_infeasible_nlp(), preset=preset, max_iterations=300)
+    # the IPM path terminates with an algorithmic error mid-restoration on
+    # this problem — verified REFERENCE-FAITHFUL: the reference binary built
+    # in-container errors at the identical iterate (f=0.2335, pf=1.057,
+    # tools/baseline 'uno_baseline infeas preset=ipopt').  The SQP-family
+    # presets detect the infeasible stationary point (better than the
+    # reference's IPM).
+    allowed = ("infeasible_stationary_point", "infeasible_small_step")
+    if preset == "ipopt":
+        allowed += ("algorithmic_error",)
+    assert res.status in allowed, (preset, res.status)
+    assert not res.success
+    assert res.primal_feasibility > 0.5
+
+
+@pytest.mark.parametrize("preset", ["ipopt", "filtersqp", "filterslp"])
+def test_infeasible_lp_detected(preset):
+    res = uno_tpu.solve(_infeasible_lp(), preset=preset, max_iterations=300)
+    allowed = ("infeasible_stationary_point", "infeasible_small_step")
+    if preset == "ipopt":
+        allowed += ("algorithmic_error",)  # see test_infeasible_nlp_detected
+    assert res.status in allowed, (preset, res.status)
+    # certificate: the reported point minimizes the l1 violation (x ~ 0
+    # between the two half-lines)
+    assert res.primal_feasibility > 0.5
+
+
+@pytest.mark.parametrize("preset", ALL_PRESETS)
+def test_unbounded_detected(preset):
+    nlp = nlp_from_functions(
+        "unb", lambda x: x[0], None, x0=np.array([0.0]),
+        x_lb=np.array([-INF]), x_ub=np.array([INF]))
+    res = uno_tpu.solve(nlp, preset=preset, max_iterations=300)
+    assert res.status in ("unbounded", "iteration_limit"), (preset, res.status)
+    # the iterate must actually have diverged downward (byrd's LS steps are
+    # bounded per iteration, so its escape rate is linear)
+    assert res.objective < -1e4 or res.status == "unbounded"
+
+
+# ---------------------------------------------------------------------------
+# status plumbing: iteration limit, time limit
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("preset", ALL_PRESETS)
+def test_max_iterations_status(preset):
+    from uno_tpu.model.library import chained_rosenbrock
+    res = uno_tpu.solve(chained_rosenbrock(20), preset=preset,
+                        max_iterations=2)
+    assert res.status in ("iteration_limit", "optimal"), (preset, res.status)
+    assert res.iterations <= 2 or res.status == "iteration_limit"
+
+
+@pytest.mark.parametrize("preset", ["filtersqp", "byrd"])
+def test_time_limit_status_sqp(preset):
+    from uno_tpu.model.library import chained_rosenbrock
+    res = uno_tpu.solve(chained_rosenbrock(40), preset=preset,
+                        time_limit=1e-9, sqp_driver="host")
+    assert res.status == "time_limit"
+
+
+# ---------------------------------------------------------------------------
+# evaluation errors mid-solve (EvaluationErrors.hpp -> TR/LS recovery):
+# trial points outside the domain produce NaN; the globalization must
+# reject them and recover
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("preset", ["ipopt", "filtersqp"])
+def test_nan_trial_recovery_log_domain(preset):
+    """min -log(x) + x on x > 0 (f* at x = 1): full steps from small x
+    easily cross into x <= 0 where f = NaN."""
+    nlp = nlp_from_functions(
+        "logdom", lambda x: -jnp.log(x[0]) + x[0], None,
+        x0=np.array([0.05]), x_lb=np.array([1e-12]), x_ub=np.array([INF]))
+    res = uno_tpu.solve(nlp, preset=preset)
+    assert res.success, (preset, res.status)
+    assert abs(res.x[0] - 1.0) < 1e-5
+
+
+@pytest.mark.parametrize("preset", ["ipopt", "filtersqp"])
+def test_nan_constraint_recovery(preset):
+    """Constraint with sqrt: trial points with negative argument give NaN c."""
+    nlp = nlp_from_functions(
+        "sqrtdom", lambda x: (x[0] - 2.0) ** 2,
+        lambda x: jnp.array([jnp.sqrt(x[0]) - 1.0]),
+        x0=np.array([0.5]), x_lb=np.array([0.0]), x_ub=np.array([INF]),
+        c_lb=np.array([0.0]), c_ub=np.array([INF]))
+    res = uno_tpu.solve(nlp, preset=preset)
+    assert res.success, (preset, res.status)
+    assert res.x[0] >= 1.0 - 1e-6
+
+
+# ---------------------------------------------------------------------------
+# start-point handling
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("preset", ["ipopt", "filtersqp", "byrd"])
+def test_x0_outside_bounds_is_projected(preset):
+    nlp = nlp_from_functions(
+        "proj", lambda x: jnp.sum(x ** 2), None,
+        x0=np.array([100.0, -100.0]),
+        x_lb=np.array([1.0, -5.0]), x_ub=np.array([5.0, -1.0]))
+    res = uno_tpu.solve(nlp, preset=preset)
+    assert res.success, (preset, res.status)
+    assert abs(res.x[0] - 1.0) < 1e-6 and abs(res.x[1] + 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("preset", ["ipopt", "filtersqp"])
+def test_start_at_active_bound(preset):
+    """x0 exactly on an active bound (IPM must push interior first)."""
+    nlp = nlp_from_functions(
+        "atbound", lambda x: (x[0] - 2.0) ** 2, None,
+        x0=np.array([0.0]), x_lb=np.array([0.0]), x_ub=np.array([1.0]))
+    res = uno_tpu.solve(nlp, preset=preset)
+    assert res.success
+    assert abs(res.x[0] - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# unconstrained / equality-only coverage for the SQP family
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("preset", SQP_PRESETS)
+def test_unconstrained_sqp_family(preset):
+    nlp = nlp_from_functions(
+        "uncon", lambda x: jnp.sum((x - 3.0) ** 4), None, x0=np.zeros(3))
+    res = uno_tpu.solve(nlp, preset=preset)
+    assert res.success, (preset, res.status)
+    assert np.allclose(res.x, 3.0, atol=1e-2)  # quartic: flat near optimum
+
+
+@pytest.mark.parametrize("preset", SQP_PRESETS)
+def test_equality_only_sqp_family(preset):
+    nlp = nlp_from_functions(
+        "eqonly", lambda x: jnp.sum(x ** 2),
+        lambda x: jnp.array([x[0] + 2.0 * x[1] - 5.0]),
+        x0=np.array([3.0, 3.0]),
+        c_lb=np.array([0.0]), c_ub=np.array([0.0]))
+    res = uno_tpu.solve(nlp, preset=preset)
+    assert res.success, (preset, res.status)
+    assert np.allclose(res.x, [1.0, 2.0], atol=1e-5)

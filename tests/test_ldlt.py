@@ -124,3 +124,85 @@ def test_pallas_kernel_matches_reference():
     rhs = jnp.asarray(rng.standard_normal(n + m))
     x = ldlt_solve(fp, rhs)
     assert np.max(np.abs(A @ np.asarray(x) - np.asarray(rhs))) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# f32 inertia stress (VERDICT round-1 item 9): the bench default is
+# kkt_dtype="float32"; wrong inertia silently mis-drives the regularization
+# loop.  Property-test num_pos/num_neg of the shipped factorizers in f32
+# against an f64 oracle on barrier-KKT-like spectra (diagonal spreads 1e+-9).
+# ---------------------------------------------------------------------------
+
+def _barrier_kkt_like(n, m, seed, spread=9):
+    """Symmetric indefinite with barrier-KKT structure: H + Sigma (diag
+    1e-spread..1e+spread) on the (1,1) block, J coupling, small -eps dual
+    block — the spectrum the inertia-correction loop actually sees."""
+    rng = np.random.default_rng(seed)
+    dim = n + m
+    H = rng.standard_normal((n, n)) * 0.1
+    H = (H + H.T) / 2
+    H[np.diag_indices(n)] = 10.0 ** rng.uniform(-spread, spread, n)
+    J = rng.standard_normal((m, n))
+    K = np.zeros((dim, dim))
+    K[:n, :n] = H
+    K[n:, :n] = J
+    K[:n, n:] = J.T
+    K[np.diag_indices(dim)[0][n:], np.diag_indices(dim)[1][n:]] = \
+        -(10.0 ** rng.uniform(-8, -2, m))
+    return K
+
+
+@pytest.mark.parametrize("n", [256, 512, 1024])
+def test_f32_inertia_matches_f64_oracle(n):
+    from uno_tpu.ingredients.regularization import pick_factorizer
+
+    m = n // 4
+    dim = n + m
+    fac_fn = pick_factorizer(dim, 32)
+    mismatches = 0
+    trials = 4 if n < 1024 else 2
+    for seed in range(trials):
+        K = _barrier_kkt_like(n, m, seed)
+        # f64 oracle: numpy eigvalsh signs (exact inertia)
+        eigs = np.linalg.eigvalsh(K)
+        # the f32 factorization cannot resolve |lambda| below ~eps*||K||;
+        # exclude near-singular draws from the strict comparison
+        scale = np.max(np.abs(eigs))
+        if np.min(np.abs(eigs)) < 1e-5 * scale:
+            continue
+        n_pos64 = int(np.sum(eigs > 0))
+        n_neg64 = int(np.sum(eigs < 0))
+        fac32 = jax.jit(fac_fn)(jnp.asarray(K, dtype=jnp.float32))
+        if (int(fac32.num_pos) != n_pos64 or int(fac32.num_neg) != n_neg64
+                or int(fac32.num_zero) != 0):
+            mismatches += 1
+    # documented tolerance: f32 inertia must be exact on well-separated
+    # barrier spectra (the regularization loop depends on it)
+    assert mismatches == 0, f"n={n}: {mismatches}/{trials} inertia mismatches"
+
+
+def test_f32_inertia_after_regularization_is_corrected():
+    """Even when raw f32 inertia is wrong on a near-singular K, the
+    inertia-correction loop (regularize_and_factor) must reach the target
+    saddle inertia (n, m, 0) — the property the IPM actually relies on."""
+    from uno_tpu.ingredients.regularization import regularize_and_factor
+    from uno_tpu.options import preset
+
+    n, m = 128, 32
+    K = _barrier_kkt_like(n, m, 123)
+    K[0, 0] = 0.0  # make the (1,1) block singular
+    opts = preset("ipopt", kkt_dtype="float32")
+
+    def assemble(delta, eps):
+        Kd = jnp.asarray(K, dtype=jnp.float32)
+        Kd = Kd + jnp.diag(jnp.concatenate([
+            jnp.full((n,), delta, jnp.float32),
+            jnp.full((m,), -eps, jnp.float32)]))
+        return Kd
+
+    reg = jax.jit(lambda: regularize_and_factor(
+        assemble, n, m, jnp.asarray(1e-8), jnp.asarray(0.0), opts, block=32))()
+    assert not bool(reg.failed)
+    assert int(reg.fac.num_pos) == n
+    assert int(reg.fac.num_neg) == m
+    assert int(reg.fac.num_zero) == 0

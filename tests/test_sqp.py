@@ -16,7 +16,12 @@ from uno_tpu.model.nlp import nlp_from_functions, INF
 def check(name, preset, max_iterations=200, rtol=1e-4):
     nlp = get_problem(name)
     res = uno_tpu.solve(nlp, preset=preset, max_iterations=max_iterations)
-    assert res.success, f"{name}/{preset}: {res.status}"
+    # FEASIBLE_SMALL_STEP at a feasible point is a legitimate reference
+    # terminal (TrustRegionStrategy.cpp:150-166); the objective check below
+    # still pins it to the optimum
+    ok = res.success or (res.status == "feasible_small_step"
+                         and res.primal_feasibility <= 1e-5)
+    assert ok, f"{name}/{preset}: {res.status}"
     optima = acceptable_optima(name)
     err = min(abs(res.objective - f) / max(1.0, abs(f)) for f in optima)
     assert err <= rtol, f"{name}/{preset}: f={res.objective}, expected {optima}"

@@ -421,6 +421,30 @@ public:
    }
 };
 
+// infeasible test problem: min x s.t. x^2 + 1 <= 0 (MOI.Test-style
+// infeasibility detection probe)
+class Infeas : public AnalyticModel {
+public:
+   Infeas() : AnalyticModel("infeas", 1, 1, {-INF_D}, {INF_D},
+                            {-INF_D}, {0.0}, {1.0}) {}
+   [[nodiscard]] double evaluate_objective(const Vector<double>& x) const override {
+      return x[0];
+   }
+   void evaluate_objective_gradient(const Vector<double>& /*x*/, Vector<double>& g) const override {
+      g[0] = 1.0;
+   }
+   void evaluate_constraints(const Vector<double>& x, std::vector<double>& c) const override {
+      c[0] = x[0] * x[0] + 1.0;
+   }
+   void dense_jacobian(const Vector<double>& x, std::vector<std::vector<double>>& J) const override {
+      J[0][0] = 2.0 * x[0];
+   }
+   void dense_hessian(const Vector<double>& /*x*/, double /*ow*/, const Vector<double>& y,
+                      std::vector<std::vector<double>>& H) const override {
+      H[0][0] = -y[0] * 2.0;
+   }
+};
+
 // the bench flagship family (mirrors /root/repo/__graft_entry__._flagship):
 // min sum((x-a)^2) + 0.1 sum(x[:-1] x[1:]) s.t. sum(x) >= 1, sum(x^2) <= 2, x >= 0
 class Flagship : public AnalyticModel {
@@ -527,9 +551,10 @@ int main(int argc, char* argv[]) {
    options.overwrite_with(command_line_options);
    Logger::set_logger(options.get_string("logger"));
 
-   if (which == "hs015" || which == "polak5" || which == "flagship") {
+   if (which == "hs015" || which == "polak5" || which == "flagship" || which == "infeas") {
       std::unique_ptr<Model> model;
       if (which == "hs015") { model = std::make_unique<Hs015>(); }
+      else if (which == "infeas") { model = std::make_unique<Infeas>(); }
       else if (which == "polak5") { model = std::make_unique<Polak5>(); }
       else {
          std::mt19937_64 rng(0);

@@ -834,6 +834,14 @@ class L1RelaxationSQP:
                 res_f = self._solve_l1_qp(it, radius, 0.0)
                 d_f = np.asarray(res_f.d)
                 lowest = self._linearized_residual(it, d_f[: ws.n], d_f[ws.n:])
+                # the feasibility QP's multipliers become the iterate's
+                # feasibility multipliers (the reference swaps them into
+                # feasibility_multipliers, l1Relaxation.cpp:130-131) — they
+                # feed the FJ infeasibility test in first_order_status
+                it.y_f = np.asarray(res_f.y)
+                it.zl_f = np.asarray(res_f.zl)[: ws.n]
+                it.zu_f = np.asarray(res_f.zu)[: ws.n]
+                it.zl_el = np.asarray(res_f.zl)[ws.n:]
                 # stage f: aggressive decrease from dual error
                 y_trial = np.asarray(res_f.y)
                 zl_t = np.asarray(res_f.zl)[: ws.n]
