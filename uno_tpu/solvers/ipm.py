@@ -27,12 +27,10 @@ Deviations from the reference control flow (documented):
   * Phase switches take effect at the next outer iteration (the reference
     re-solves the new phase's subproblem within the same iteration); this
     costs at most one extra cheap iteration per switch.
-  * The l1 elastic initialization uses the TRUE IPOPT restoration formula
-    with the actual constraint values (q - p = c, interior magnitudes) plus
-    consistent elastic/constraint duals; the reference snapshot hardwires
-    constraint_j = 0 behind a TODO (PrimalDualInteriorPointMethod.cpp:211-214),
-    which strands the elastics at mu/rho and stalls restoration progress
-    (fixed here; solves hs013/hs116 that the TODO-faithful init loses).
+  * The l1 elastic initialization uses the reference's actual behavior
+    (constraint value treated as 0, PrimalDualInteriorPointMethod.cpp:214),
+    i.e. p = q = mu/rho; see the inline note at the restoration-entry block
+    for the round-2 A/B sweep of the "true" IPOPT formula (net negative).
   * On a line-search failure the small-step termination test runs at the
     current iterate rather than the last rejected trial.
 """
@@ -775,30 +773,22 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options,
         x_ref_n = jnp.where(to_feas, x_n, s.x_ref)
         h_ref_n = jnp.where(to_feas, h_n, s.h_ref)
         if m:
-            # elastic init: the IPOPT restoration formula with the ACTUAL
-            # constraint values, q - p = c and p*q-consistent interior
-            # magnitudes (PrimalDualInteriorPointMethod.cpp:206-218; the
-            # reference snapshot hardwires constraint_j = 0 behind a TODO,
-            # which strands the elastics at mu/nu and stalls restoration on
-            # genuinely infeasible problems — deviation documented in
-            # PARITY.md).  Duals start complementarity-consistent z = mu/e.
-            c_n = prob.constraints(x_n, s.params)
-            mu_nu = mu_enter / nu
-            radical = jnp.sqrt(c_n * c_n + mu_nu * mu_nu)
-            p_init = (mu_nu - c_n + radical) / 2.0
-            q_init = (mu_nu + c_n + radical) / 2.0
+            # elastic init p = q = mu/rho, duals = rho — matches the
+            # reference's ACTUAL behavior (constraint value hardwired to 0
+            # behind a TODO, PrimalDualInteriorPointMethod.cpp:211-214).
+            # The "true" IPOPT formula with real constraint values
+            # (q - p = c) was implemented and A/B-swept in round 2: it
+            # trades hs013/hs116 for hs061 and the l1_merit-IPM combination
+            # (the dual-consistent variants poison the first restoration
+            # Hessian; the primal-consistent ones take an aggressive first
+            # step the line search rejects on rank-deficient Jacobians).
+            # Net sweep effect negative (98 vs 99 of 100) -> keep the
+            # dual-consistent gentle-crawl init.
+            p_init = jnp.full((m,), 1.0) * (mu_enter / nu)
             p_n = jnp.where(to_feas, p_init, p_n)
-            q_n = jnp.where(to_feas, q_init, q_n)
-            zp_n = jnp.where(to_feas, mu_enter / p_init, zp_n)
-            zq_n = jnp.where(to_feas, mu_enter / q_init, zq_n)
-            # constraint multipliers consistent with the dominant elastic's
-            # stationarity (nu - mu/q + y = 0 resp. nu - mu/p - y = 0), so
-            # the first restoration Newton step starts from near-zero dual
-            # residuals instead of O(nu) ones
-            y_f_init = jnp.where(q_init >= p_init,
-                                 mu_enter / q_init - nu,
-                                 nu - mu_enter / p_init)
-            y_f_n = jnp.where(to_feas, y_f_init, y_f_n)
+            q_n = jnp.where(to_feas, p_init, q_n)
+            zp_n = jnp.where(to_feas, jnp.full((m,), nu), zp_n)
+            zq_n = jnp.where(to_feas, jnp.full((m,), nu), zq_n)
         zl_f_n = jnp.where(to_feas, jnp.where(hlb, opts.barrier_default_multiplier, 0.0), zl_f_n)
         zu_f_n = jnp.where(to_feas, jnp.where(hub, -opts.barrier_default_multiplier, 0.0), zu_f_n)
         # notify_switch_to_feasibility: filter methods record the current
