@@ -41,11 +41,19 @@ def main():
     from uno_tpu.solvers.batch import build_batch_ipm
     from __graft_entry__ import _flagship
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     kkt_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
     mode = sys.argv[3] if len(sys.argv) > 3 else "plain"
+    # round-2 measured configuration (all verified lossless on this family —
+    # identical per-instance iteration counts and 100% solved at 1e-8):
+    #   filter_capacity=8: the vectorized Waechter filter RESETS at every mu
+    #     change, so live entries stay tiny; capacity 50 (reference default)
+    #     pays an O(cap^2) one-hot contraction per iteration (+16% wall)
+    #   LS_batch_candidates=1: the 4-candidate vectorized backtracking costs
+    #     more in per-iteration bandwidth than the rare extra loop trip saves
+    #     (+13% wall) on this family where alpha=1 usually accepts
     opts = preset("ipopt", scale_functions=False, kkt_dtype=kkt_dtype,
-                  LS_batch_candidates=4)
+                  LS_batch_candidates=1, filter_capacity=8)
     nlp, x0, params = _flagship(B)
 
     if mode == "bucketed":
