@@ -157,10 +157,12 @@ def solve_batch(nlp: NLP, opts: Optional[Options] = None, x0_batch=None,
     elapsed = time.time() - t0
 
     x_orig = np.asarray(final.x)[:, : nlp.n]
-    fvals = np.asarray(jax.vmap(lambda x, p: nlp.objective(x, p) if params_batch is not None
-                                else nlp.objective(x))(jnp.asarray(x_orig), params_batch)
-                       if params_batch is not None else
-                       jax.vmap(nlp.objective)(jnp.asarray(x_orig)))
+    if params_batch is not None:
+        fvals = np.asarray(jax.vmap(nlp.objective)(jnp.asarray(x_orig),
+                                                   params_batch))
+    else:
+        fvals = np.asarray(jax.vmap(lambda xv: nlp.objective(xv))(
+            jnp.asarray(x_orig)))
     return BatchResult(
         status=np.asarray(final.status),
         x=x_orig,
