@@ -134,6 +134,10 @@ def main():
             "median_iters": float(np.median([r["iters"] for r in solved]))
             if solved else None,
         }
+        if out_file:  # incremental flush: long sweeps survive timeouts
+            with open(out_file, "w") as fh:
+                json.dump({"summary": summary, "rows": all_rows,
+                           "partial": True}, fh, indent=1)
     print("\n" + json.dumps({"sweep": summary}))
     if out_file:
         with open(out_file, "w") as fh:
