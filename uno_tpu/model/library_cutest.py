@@ -685,4 +685,313 @@ def dblintegrator(n):
         c_lb=np.zeros(2 * T), c_ub=np.zeros(2 * T))
 
 
+# ===========================================================================
+# round-2 widening toward the CUTEst-429 surface (VERDICT item 2):
+# 16 further classic families from MGH-1981 / CUTE(st) / COPS 3.0,
+# encoded from the published formulations with vectorized jnp expressions.
+# ===========================================================================
+
+@family("fletchcr", f_star=0.0)
+def fletchcr(n):
+    """CUTEst FLETCHCR (Fletcher's chained Rosenbrock variant):
+    sum 100 (x_{i+1} - x_i + 1 - x_i^2)^2; f* = 0 at x = 1."""
+    def f(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] + 1.0 - x[:-1] ** 2) ** 2)
+
+    return nlp_from_functions(f"fletchcr_n{n}", f, None, x0=np.zeros(n))
+
+
+@family("genrose", f_star=1.0)
+def genrose(n):
+    """CUTEst GENROSE (generalized Rosenbrock): 1 + sum 100(x_i - x_{i-1}^2)^2
+    + (x_i - 1)^2; f* = 1 at x = 1; x0_i = i/(n+1)."""
+    def f(x):
+        return (1.0 + jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2
+                              + (x[1:] - 1.0) ** 2))
+
+    x0 = np.arange(1, n + 1) / (n + 1.0)
+    return nlp_from_functions(f"genrose_n{n}", f, None, x0=x0)
+
+
+@family("dqdrtic", f_star=0.0, min_n=3)
+def dqdrtic(n):
+    """CUTEst DQDRTIC: sum_{i<=n-2} (x_i^2 + 100 x_{i+1}^2 + 100 x_{i+2}^2);
+    separable convex quadratic, f* = 0; x0 = 3."""
+    def f(x):
+        return jnp.sum(x[:-2] ** 2 + 100.0 * x[1:-1] ** 2 + 100.0 * x[2:] ** 2)
+
+    return nlp_from_functions(f"dqdrtic_n{n}", f, None, x0=np.full(n, 3.0))
+
+
+@family("nondia")
+def nondia(n):
+    """CUTEst NONDIA (Shanno's nondiagonal Rosenbrock variant):
+    (x_1-1)^2 + sum_{i>=2} 100 (x_1 - x_i^2)^2; global f* = 0 at x = 1, but
+    from the published start x0 = -1 a local method may stop at another
+    first-order point (x ~ 0), so no f* is asserted."""
+    def f(x):
+        return (x[0] - 1.0) ** 2 + jnp.sum(100.0 * (x[0] - x[1:] ** 2) ** 2)
+
+    return nlp_from_functions(f"nondia_n{n}", f, None, x0=np.full(n, -1.0))
+
+
+@family("denschnb", f_star=0.0, min_n=2)
+def denschnb(n):
+    """CUTEst DENSCHNB (extended Dennis-Schnabel B): pairwise separable
+    sum (a-2)^2 + ((a-2) b)^2 + (b+1)^2 over pairs (a,b); f* = 0 at
+    (2, -1)."""
+    n -= n % 2
+
+    def f(x):
+        a, b = x[0::2], x[1::2]
+        return jnp.sum((a - 2.0) ** 2 + ((a - 2.0) * b) ** 2 + (b + 1.0) ** 2)
+
+    return nlp_from_functions(f"denschnb_n{n}", f, None, x0=np.ones(n))
+
+
+@family("powergq", f_star=0.0)
+def powergq(n):
+    """POWER-style graded convex quadratic: sum (i * x_i)^2; f* = 0.
+    Condition number n^2 — stresses termination scaling."""
+    w = jnp.asarray(np.arange(1, n + 1, dtype=float))
+
+    def f(x):
+        return jnp.sum((w * x) ** 2)
+
+    return nlp_from_functions(f"powergq_n{n}", f, None, x0=np.ones(n))
+
+
+@family("dixmaana", f_star=1.0, min_n=6)
+def dixmaana(n):
+    """CUTEst DIXMAANA (Dixon-Maany, variant A: alpha=1, beta=0, gamma=1/8,
+    delta=1/8, all exponents 0): f* = 1 at x = 0; x0 = 2."""
+    m = n // 3
+
+    def f(x):
+        t1 = jnp.sum(x ** 2)
+        t3 = jnp.sum(x[: 2 * m] ** 2 * x[m: 3 * m] ** 4)
+        t4 = jnp.sum(x[:m] * x[2 * m: 3 * m])
+        return 1.0 + t1 + 0.125 * t3 + 0.125 * t4
+
+    return nlp_from_functions(f"dixmaana_n{n}", f, None, x0=np.full(n, 2.0))
+
+
+@family("morebv", f_star=0.0)
+def morebv(n):
+    """MGH #28 / CUTEst MOREBV: discretized two-point boundary value problem
+    (least squares), f* = 0; x0_i = t_i (t_i - 1)."""
+    h = 1.0 / (n + 1)
+    t = jnp.asarray(np.arange(1, n + 1) * h)
+
+    def f(x):
+        xp = jnp.concatenate([jnp.zeros(1), x, jnp.zeros(1)])
+        r = (2.0 * x - xp[:-2] - xp[2:]
+             + 0.5 * h * h * (x + t + 1.0) ** 3)
+        return jnp.sum(r ** 2)
+
+    x0 = np.arange(1, n + 1) * h
+    x0 = x0 * (x0 - 1.0)
+    return nlp_from_functions(f"morebv_n{n}", f, None, x0=x0)
+
+
+@family("trigmgh", f_star=0.0)
+def trigmgh(n):
+    """MGH #26 trigonometric function (least squares): f_i = n - sum_j cos x_j
+    + i (1 - cos x_i) - sin x_i; f* = 0; x0 = 1/n."""
+    idx = jnp.asarray(np.arange(1, n + 1, dtype=float))
+
+    def f(x):
+        s = jnp.sum(jnp.cos(x))
+        r = n - s + idx * (1.0 - jnp.cos(x)) - jnp.sin(x)
+        return jnp.sum(r ** 2)
+
+    return nlp_from_functions(f"trigmgh_n{n}", f, None, x0=np.full(n, 1.0 / n))
+
+
+@family("eg2")
+def eg2(n):
+    """CUTEst EG2: sum_{i<n} sin(x_1 + x_i^2 - 1) + 0.5 sin(x_n^2);
+    highly nonconvex, no exact f* (≈ -(n-1))."""
+    def f(x):
+        return (jnp.sum(jnp.sin(x[0] + x[:-1] ** 2 - 1.0))
+                + 0.5 * jnp.sin(x[-1] ** 2))
+
+    return nlp_from_functions(f"eg2_n{n}", f, None, x0=np.zeros(n))
+
+
+@family("curly10", min_n=11)
+def curly10(n):
+    """CUTEst CURLY10: q_i = sum_{j=i}^{min(i+10,n)} x_j,
+    f = sum q_i (q_i^2 (q_i^2 - 20) - 0.1); banded nonconvex."""
+    K = 10
+    hi = np.minimum(np.arange(n) + K + 1, n)
+
+    def f(x):
+        S0 = jnp.concatenate([jnp.zeros(1), jnp.cumsum(x)])
+        q = S0[hi] - S0[:n]
+        return jnp.sum(q * (q ** 2 * (q ** 2 - 20.0) - 0.1))
+
+    x0 = 1e-4 * np.arange(1, n + 1) / (n + 1)
+    return nlp_from_functions(f"curly10_n{n}", f, None, x0=x0)
+
+
+@family("penalty2", min_n=2)
+def penalty2(n):
+    """MGH #24 / CUTEst PENALTY2: a = 1e-5, exponential residuals plus the
+    weighted-norm penalty ((sum (n-j+1) x_j^2) - 1)^2; x0 = 0.5."""
+    a = 1e-5
+    i2 = np.arange(2, n + 1)
+    y = np.exp(i2 / 10.0) + np.exp((i2 - 1) / 10.0)
+    yj = jnp.asarray(y)
+    w = jnp.asarray(np.arange(n, 0, -1, dtype=float))
+    em = float(np.exp(-0.1))
+
+    def f(x):
+        e = jnp.exp(x / 10.0)
+        r1 = a * jnp.sum((e[1:] + e[:-1] - yj) ** 2)
+        r2 = a * jnp.sum((e[1:] - em) ** 2)
+        r3 = (jnp.sum(w * x ** 2) - 1.0) ** 2
+        return (x[0] - 0.2) ** 2 + r1 + r2 + r3
+
+    return nlp_from_functions(f"penalty2_n{n}", f, None, x0=np.full(n, 0.5))
+
+
+@family("noncvxun", min_n=4)
+def noncvxun(n):
+    """CUTEst NONCVXUN: f = sum g(x_i + x_{p_i} + x_{q_i}) with
+    g(t) = t^2 + 4 cos(t), p_i = 2i mod n, q_i = 3i mod n; nonconvex
+    with many local minima."""
+    p = (2 * (np.arange(n) + 1)) % n
+    q = (3 * (np.arange(n) + 1)) % n
+
+    def f(x):
+        t = x + x[p] + x[q]
+        return jnp.sum(t ** 2 + 4.0 * jnp.cos(t))
+
+    x0 = np.arange(1, n + 1, dtype=float)
+    return nlp_from_functions(f"noncvxun_n{n}", f, None, x0=x0)
+
+
+@family("chandheq_ls", f_star=0.0)
+def chandheq_ls(n):
+    """Chandrasekhar H-equation (CUTEst CHANDHEQ), c = 0.9, as least squares:
+    r_i = x_i - 1 - (c/2) x_i sum_j w mu_i/(mu_i+mu_j) x_j; f* = 0."""
+    mu = (np.arange(1, n + 1) - 0.5) / n
+    A = (mu[:, None] / (mu[:, None] + mu[None, :])) / n
+    Aj = jnp.asarray(A)
+
+    def f(x):
+        r = x - 1.0 - 0.45 * x * (Aj @ x)
+        return jnp.sum(r ** 2)
+
+    return nlp_from_functions(f"chandheq_ls_n{n}", f, None, x0=np.ones(n))
+
+
+@family("torsion", min_n=16, sizes=(100, 1000))
+def torsion(n):
+    """Elastic-plastic torsion (CUTEst TORSION1-style): min 1/2 u^T K u
+    - c h^2 sum u on a g x g interior grid, |u_ij| <= dist(ij, boundary);
+    c = 5."""
+    g = int(np.sqrt(n))
+    h = 1.0 / (g + 1)
+
+    def f(u):
+        U = u.reshape(g, g)
+        Up = jnp.pad(U, 1)
+        lap = 4.0 * U - Up[:-2, 1:-1] - Up[2:, 1:-1] - Up[1:-1, :-2] - Up[1:-1, 2:]
+        return 0.5 * jnp.sum(U * lap) - 5.0 * h * h * jnp.sum(U)
+
+    ii, jj = np.meshgrid(np.arange(1, g + 1), np.arange(1, g + 1), indexing="ij")
+    dist = h * np.minimum(np.minimum(ii, jj), np.minimum(g + 1 - ii, g + 1 - jj))
+    return nlp_from_functions(
+        f"torsion_n{g * g}", f, None, x0=np.zeros(g * g),
+        x_lb=-dist.ravel(), x_ub=dist.ravel())
+
+
+@family("minsurf", min_n=16, sizes=(100, 1000))
+def minsurf(n):
+    """Minimal surface (COPS 3.0 / CUTEst MINSURF-class): min sum h^2
+    sqrt(1 + |forward-difference gradient|^2) over a g x g grid of free
+    heights; boundary fixed to sin(pi s) on two opposite edges."""
+    g = int(np.sqrt(n))
+    h = 1.0 / (g + 1)
+    s = np.arange(0, g + 2) * h
+    bnd = jnp.asarray(np.sin(np.pi * s))
+
+    def f(u):
+        U = u.reshape(g, g)
+        Up = jnp.pad(U, 1)
+        Up = Up.at[0, :].set(bnd)
+        Up = Up.at[-1, :].set(bnd)
+        dx = (Up[1:, :] - Up[:-1, :]) / h
+        dy = (Up[:, 1:] - Up[:, :-1]) / h
+        area = jnp.sqrt(1.0 + dx[:, :-1] ** 2 + dy[:-1, :] ** 2)
+        return h * h * jnp.sum(area)
+
+    return nlp_from_functions(
+        f"minsurf_n{g * g}", f, None, x0=np.full(g * g, 0.5))
+
+
+@family("bratu2d_ls", f_star=0.0, min_n=16, sizes=(100, 1000))
+def bratu2d_ls(n):
+    """2-D Bratu problem -lap(u) = lam e^u (lam = 4 < critical 6.81), as a
+    least-squares nonlinear system on a g x g interior grid; f* = 0."""
+    g = int(np.sqrt(n))
+    h = 1.0 / (g + 1)
+    lam = 4.0
+
+    def f(u):
+        U = u.reshape(g, g)
+        Up = jnp.pad(U, 1)
+        lap = 4.0 * U - Up[:-2, 1:-1] - Up[2:, 1:-1] - Up[1:-1, :-2] - Up[1:-1, 2:]
+        r = lap - h * h * lam * jnp.exp(U)
+        return jnp.sum(r ** 2)
+
+    return nlp_from_functions(f"bratu2d_ls_n{g * g}", f, None, x0=np.zeros(g * g))
+
+
+@family("clnlbeam", min_n=9)
+def clnlbeam(n):
+    """COPS 3.0 / CUTEst CLNLBEAM: nonlinear beam optimal control,
+    min sum h/2 (u_i^2 + u_{i+1}^2) + alpha h/2 (cos t_i + cos t_{i+1}),
+    s.t. trapezoidal dynamics x' = sin t, t' = u; |t| <= 1,
+    |x| <= 0.05, endpoints pinned at 0; alpha = 350."""
+    N = max(2, n // 3)
+    h = 1.0 / N
+    alpha = 350.0
+
+    def split(z):
+        t = z[: N + 1]
+        x = z[N + 1: 2 * (N + 1)]
+        u = z[2 * (N + 1):]
+        return t, x, u
+
+    def f(z):
+        t, x, u = split(z)
+        return jnp.sum(0.5 * h * (u[1:] ** 2 + u[:-1] ** 2)
+                       + 0.5 * alpha * h * (jnp.cos(t[1:]) + jnp.cos(t[:-1])))
+
+    def c(z):
+        t, x, u = split(z)
+        r1 = x[1:] - x[:-1] - 0.5 * h * (jnp.sin(t[1:]) + jnp.sin(t[:-1]))
+        r2 = t[1:] - t[:-1] - 0.5 * h * (u[1:] + u[:-1])
+        return jnp.concatenate([r1, r2])
+
+    nv = 3 * (N + 1)
+    ih = np.arange(N + 1) * h
+    x0 = np.concatenate([0.05 * np.cos(np.pi * ih),        # t init
+                         0.025 * np.sin(np.pi * ih),       # x init
+                         np.zeros(N + 1)])                 # u init
+    xl = np.concatenate([np.full(N + 1, -1.0), np.full(N + 1, -0.05),
+                         np.full(N + 1, -INF)])
+    xu = np.concatenate([np.full(N + 1, 1.0), np.full(N + 1, 0.05),
+                         np.full(N + 1, INF)])
+    for k in (0, N, N + 1, 2 * N + 1):  # t and x endpoints pinned
+        xl[k] = xu[k] = 0.0
+        x0[k] = 0.0
+    return nlp_from_functions(
+        f"clnlbeam_n{nv}", f, c, x0=x0, x_lb=xl, x_ub=xu,
+        c_lb=np.zeros(2 * N), c_ub=np.zeros(2 * N))
+
+
 _reg_all()
