@@ -37,8 +37,30 @@ import jax  # noqa: E402
 # env vars are read; honoring JAX_PLATFORMS needs the config API
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/uno_tpu_xla"))
+# CPU-fingerprinted cache dir (same scheme as tests/conftest.py): XLA:CPU
+# AOT entries are machine-specific, and the TPU host shares this checkout —
+# loading its entries here trips cpu_aot_loader machine-mismatch errors.
+import hashlib  # noqa: E402
+
+
+def _cpu_fingerprint():
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:8]
+
+
+if jax.default_backend() == "cpu":
+    cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                             f".jax_cache_cpu_{_cpu_fingerprint()}")
+else:
+    cache_dir = os.path.expanduser("~/.cache/uno_tpu_xla")
+jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
@@ -58,9 +80,11 @@ MAX_ITER = {"ipopt": 2000, "filtersqp": 500, "funnelsqp": 500,
             "byrd": 500, "filterslp": 500}
 
 
-def run_preset(preset, names, sqp_cap=150, max_n=None):
+def run_preset(preset, names, sqp_cap=150, max_n=None, flush=None):
     rows = []
     for name in names:
+        if flush is not None and len(rows) % 10 == 9:
+            flush(preset, rows)
         nlp = get_problem(name)
         if max_n is not None and nlp.n + nlp.m > max_n:
             continue
@@ -118,8 +142,17 @@ def main():
     presets = argv or list(PRESETS)
     summary = {}
     all_rows = {}
+    def flush(preset, rows):
+        if out_file:
+            cur = dict(all_rows)
+            cur[preset] = rows
+            with open(out_file, "w") as fh:
+                json.dump({"summary": summary, "rows": cur, "partial": True},
+                          fh, indent=1)
+
     for preset in presets:
-        rows = run_preset(preset, names, sqp_cap=sqp_cap, max_n=max_n)
+        rows = run_preset(preset, names, sqp_cap=sqp_cap, max_n=max_n,
+                          flush=flush)
         all_rows[preset] = rows
         solved = [r for r in rows if r["solved"]]
         print(f"\n== {preset}: {len(solved)}/{len(rows)} solved "

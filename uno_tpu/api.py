@@ -30,14 +30,27 @@ def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = N
         return solve_ipm(nlp, options, callbacks=callbacks, history=history)
     else:
         driver = options.sqp_driver
+        is_byrd_family = (options.globalization_mechanism == "LS"
+                          and options.constraint_relaxation_strategy
+                          == "l1_relaxation"
+                          and options.globalization_strategy == "l1_merit")
         if driver == "auto":
-            # the fused lax.while_loop driver covers the TR +
-            # feasibility-restoration family (filtersqp/funnelsqp/filterslp);
-            # LS mechanisms and l1-relaxation steering (byrd) run on the
-            # host driver
-            driver = ("fused" if options.globalization_mechanism == "TR"
-                      and options.constraint_relaxation_strategy
-                      == "feasibility_restoration" else "host")
+            # the fused lax.while_loop drivers cover the TR +
+            # feasibility-restoration family (filtersqp/funnelsqp/filterslp)
+            # and the LS + l1-relaxation steering family (byrd); other
+            # mechanism/relaxation mixes run on the host driver
+            if (options.globalization_mechanism == "TR"
+                    and options.constraint_relaxation_strategy
+                    == "feasibility_restoration"):
+                driver = "fused"
+            elif is_byrd_family:
+                driver = "fused"
+            else:
+                driver = "host"
+        if driver == "fused" and is_byrd_family:
+            from uno_tpu.solvers.sqp_fused import solve_byrd_fused
+            return solve_byrd_fused(nlp, options, callbacks=callbacks,
+                                    history=history)
         if driver == "fused":
             from uno_tpu.solvers.sqp_fused import solve_sqp_fused
             return solve_sqp_fused(nlp, options, callbacks=callbacks,

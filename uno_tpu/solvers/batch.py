@@ -114,15 +114,23 @@ def build_batch_sqp(nlp: NLP, opts: Options, params_example=None,
     """Batched (vmapped) fused SQP: every TR+filter/funnel preset
     (filtersqp, funnelsqp, filterslp) rides the same batch axis as the IPM
     (VERDICT round-1 item 3).  Returns (prob, run) like build_batch_ipm."""
-    from uno_tpu.solvers.sqp_fused import (build_sqp_fused,
+    from uno_tpu.solvers.sqp_fused import (build_byrd_fused, build_sqp_fused,
+                                           make_initial_byrd_state,
                                            make_initial_sqp_state)
     from uno_tpu.solvers.ipm import canonicalize_state
 
-    prob, ws, step, _ = build_sqp_fused(nlp, opts)
+    byrd = (opts.globalization_mechanism == "LS"
+            and opts.constraint_relaxation_strategy == "l1_relaxation")
+    if byrd:
+        prob, ws, step, _ = build_byrd_fused(nlp, opts)
+        make_init = make_initial_byrd_state
+    else:
+        prob, ws, step, _ = build_sqp_fused(nlp, opts)
+        make_init = make_initial_sqp_state
 
     def solve_one(x0, params):
         s0 = canonicalize_state(
-            make_initial_sqp_state(prob, ws, opts, x0=x0, params=params))
+            make_init(prob, ws, opts, x0=x0, params=params))
         return lax.while_loop(lambda s: s.status == RUNNING, step, s0)
 
     return prob, _vmap_solver(solve_one, nlp.n, params_example, batch_last)

@@ -589,6 +589,527 @@ def make_sqp_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
     return step
 
 
+# ===========================================================================
+# Fused byrd (LS + l1 merit + Sl1QP penalty steering), the l1Relaxation.cpp
+# path as a flat jittable/vmappable state machine.  One while_loop trip = one
+# OUTER iteration: a bounded steering sub-loop (one relaxed-QP solve per
+# trip, stages a/c/d/e/f of l1Relaxation.cpp:105-263) followed by a bounded
+# backtracking-line-search sub-loop (BacktrackingLineSearch.cpp:51-113) and
+# the commit.  The HLO contains exactly ONE relaxed-QP instance.
+# ===========================================================================
+
+class ByrdFState(NamedTuple):
+    x: jnp.ndarray
+    ev: jnp.ndarray
+    y: jnp.ndarray
+    zl: jnp.ndarray
+    zu: jnp.ndarray
+    y_f: jnp.ndarray
+    zl_f: jnp.ndarray
+    zu_f: jnp.ndarray
+    zl_el: jnp.ndarray
+    f_cur: jnp.ndarray
+    c_cur: jnp.ndarray
+    rho: jnp.ndarray          # l1 penalty (steered down across iterations)
+    status: jnp.ndarray
+    iteration: jnp.ndarray
+    loose_count: jnp.ndarray
+    stat: jnp.ndarray
+    stat_scaling: jnp.ndarray
+    compl: jnp.ndarray
+    compl_scaling: jnp.ndarray
+    primal_feas: jnp.ndarray
+    num_qp: jnp.ndarray
+    num_obj_evals: jnp.ndarray
+    num_con_evals: jnp.ndarray
+    num_hess: jnp.ndarray
+    params: object = None
+
+
+def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
+    """One byrd outer iteration; returns a pure state -> state function."""
+    n, m, n_el = ws.n, ws.m, ws.n_el
+    xl, xu = jnp.asarray(ws.xl), jnp.asarray(ws.xu)
+    has_xl, has_xu = jnp.asarray(ws.has_xl), jnp.asarray(ws.has_xu)
+    cl, cu = jnp.asarray(ws.cl), jnp.asarray(ws.cu)
+    has_cl, has_cu = jnp.asarray(ws.has_cl), jnp.asarray(ws.has_cu)
+    is_eq = jnp.asarray(ws.is_eq)
+    E = jnp.asarray(ws.E)
+    el_sign_y = jnp.asarray(ws.E.T)
+    nu = opts.l1_constraint_violation_coefficient
+    tol = opts.tolerance
+    thr = opts.residual_scaling_threshold
+    rn = opts.residual_norm
+    roundoff = (10.0 * np.finfo(np.float64).eps
+                if opts.protect_actual_reduction_against_roundoff else 0.0)
+    zero_hessian = opts.hessian_model == "zero"
+    identity_hessian = opts.hessian_model == "identity"
+
+    def hessian(x, y, sigma, params):
+        if zero_hessian:
+            return jnp.zeros((n, n))
+        if identity_hessian:
+            return jnp.eye(n)
+        return nlp.lagrangian_hessian(x, y, sigma, params=params)
+
+    def violation(c, kind):
+        viol = jnp.where(has_cl, jnp.maximum(cl - c, 0.0), 0.0) + \
+            jnp.where(has_cu, jnp.maximum(c - cu, 0.0), 0.0)
+        return vector_norm(viol, kind)
+
+    # NO trust region (LS mechanism): the QP box is the MODEL bound
+    # structure, not all-finite like the fused TR driver's
+    struct_rel = QPStructure(
+        n=n + n_el, m=m,
+        has_dl=np.concatenate([np.asarray(ws.has_xl, bool),
+                               np.ones(n_el, bool)]),
+        has_du=np.concatenate([np.asarray(ws.has_xu, bool),
+                               np.zeros(n_el, bool)]),
+        is_eq=ws.is_eq, has_rl=ws.has_cl, has_ru=ws.has_cu)
+    solve_qp_rel = build_qp_solver(struct_rel, opts, tol=opts.tolerance * 1e-2)
+
+    def con_compl(c, yv):
+        lo = jnp.where(has_cl, cl, 0.0)
+        hi = jnp.where(has_cu, cu, 0.0)
+        out = jnp.where(~is_eq & (yv > 0) & has_cl, yv * (c - lo), 0.0)
+        out = jnp.where(~is_eq & (yv < 0) & has_cu, yv * (c - hi), out)
+        return out
+
+    def scalings(y, zl, zu):
+        total = ws.nb + m
+        ssc = jnp.maximum(1.0, (jnp.sum(jnp.abs(y)) + jnp.sum(jnp.abs(zl))
+                                + jnp.sum(jnp.abs(zu))) / (thr * max(total, 1))) \
+            if total else jnp.asarray(1.0)
+        csc = jnp.maximum(1.0, (jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu)))
+                          / (thr * max(ws.nb, 1))) if ws.nb else jnp.asarray(1.0)
+        return ssc, csc
+
+    # PrimalRegularization (reference PrimalRegularization.hpp:80-140; the
+    # byrd preset sets regularization_strategy="primal"): H + delta*I until
+    # positive definite.  PD-ness is checked via Cholesky (finite L with
+    # strictly positive diagonal <=> inertia (n, 0, 0), the host driver's
+    # LDL^T inertia test), as a bounded while_loop under jit.
+    use_primal_reg = opts.regularization_strategy == "primal"
+    eye_n = jnp.eye(n)
+
+    def _pd_ok(Hd):
+        L = jnp.linalg.cholesky(Hd)
+        return jnp.all(jnp.isfinite(L)) & jnp.all(jnp.diag(L) > 0.0)
+
+    def primal_reg(H):
+        ok0 = _pd_ok(H)
+        min_diag = jnp.min(jnp.diag(H))
+        d0 = jnp.maximum(opts.regularization_initial_value,
+                         opts.regularization_initial_value - min_diag)
+
+        def cond(cr):
+            _, ok, k = cr
+            return ~ok & (k < 80)
+
+        def body(cr):
+            d, _, k = cr
+            ok = _pd_ok(H + d * eye_n)
+            return (jnp.where(ok, d, d * opts.regularization_increase_factor),
+                    ok, k + 1)
+
+        delta, ok, _ = lax.while_loop(cond, body, (d0, ok0, jnp.asarray(0)))
+        return H + jnp.where(ok0, 0.0, delta) * eye_n
+
+    # steering constants (l1Relaxation.cpp / Presets.cpp byrd)
+    fixed_rho = opts.l1_relaxation_fixed_parameter
+    eps1 = opts.l1_relaxation_epsilon1
+    eps2 = opts.l1_relaxation_epsilon2
+    small_thr = opts.l1_relaxation_residual_small_threshold
+    dec = opts.l1_relaxation_decrease_factor
+    # IP-QP dual-dust gate (documented BQPD-replacement deviation; the host
+    # driver uses the same 1e-3 floor, sqp.py L1RelaxationSQP)
+    dust = max(opts.l1_small_duals_threshold, 1e-3)
+    MAXD = 60  # stage-d/e decrease caps (host driver bound)
+
+    # LS trip bound: alpha = ratio^k until < min_step
+    ls_max = int(np.ceil(np.log(opts.LS_min_step_length)
+                         / np.log(opts.LS_backtracking_ratio))) + 2
+
+    def step(s: ByrdFState) -> ByrdFState:
+        params = s.params
+        x, f, c = s.x, s.f_cur, s.c_cur
+        g = nlp.objective_gradient(x, params=params)
+        J = nlp.constraint_jacobian(x, params=params) if m else jnp.zeros((0, n))
+        rho0 = s.rho
+        h_cur = violation(c, opts.progress_norm)
+        pf = violation(c, rn)
+
+        # ---- termination at the current iterate (sigma = rho) --------------
+        grad_lag = rho0 * g - (_mtv(J, s.y) if m else 0.0) - s.zl - s.zu
+        stat = vector_norm(grad_lag, rn)
+        bc = jnp.where(has_xl & (s.zl > 0), s.zl * (x - jnp.where(has_xl, xl, 0.0)), 0.0) \
+            + jnp.where(has_xu & (s.zu < 0), s.zu * (x - jnp.where(has_xu, xu, 0.0)), 0.0)
+        compl = vector_norm(jnp.concatenate([bc, con_compl(c, s.y)])
+                            if m else bc, rn)
+        ssc, csc = scalings(s.y, s.zl, s.zu)
+        grad_lag_f = -(_mtv(J, s.y_f) if m else 0.0) - s.zl_f - s.zu_f
+        el_stat = nu - (_mv(el_sign_y, s.y_f) if m else 0.0) - s.zl_el \
+            if n_el else jnp.zeros((0,))
+        feas_stat = vector_norm(jnp.concatenate([grad_lag_f, el_stat]), rn)
+        bc_f = jnp.where(has_xl & (s.zl_f > 0),
+                         s.zl_f * (x - jnp.where(has_xl, xl, 0.0)), 0.0) \
+            + jnp.where(has_xu & (s.zu_f < 0),
+                        s.zu_f * (x - jnp.where(has_xu, xu, 0.0)), 0.0)
+        el_compl = jnp.where(s.zl_el > 0, s.zl_el * s.ev, 0.0)
+        c_relaxed = c + (_mv(E, s.ev) if n_el else 0.0)
+        feas_compl = vector_norm(jnp.concatenate(
+            [bc_f, el_compl, con_compl(c_relaxed, s.y_f)]
+            if m else [bc_f, el_compl]), rn)
+        fssc, fcsc = scalings(s.y_f, s.zl_f, s.zu_f)
+        tested = s.iteration > 0
+
+        def kkt_ok(t):
+            return ((stat / ssc <= t) & (pf <= t) & (compl / csc <= t)
+                    & (rho0 > 0) & tested)
+
+        nontrivial_f = (jnp.max(jnp.abs(s.y_f), initial=0.0) > tol) | \
+            (jnp.max(jnp.abs(s.zl_f + s.zu_f), initial=0.0) > tol)
+
+        def fj_ok(t):
+            return (m > 0) & (feas_stat / fssc <= t) & (pf > t) & \
+                (feas_compl / fcsc <= t) & nontrivial_f & tested
+
+        status = s.status
+        loose = opts.loose_tolerance
+        loose_hit = kkt_ok(loose) | fj_ok(loose)
+        loose_count = jnp.where(loose_hit, s.loose_count + 1,
+                                jnp.zeros_like(s.loose_count))
+        loose_fire = loose_count >= opts.loose_tolerance_consecutive_iteration_threshold
+        status = jnp.where(loose_fire & kkt_ok(loose), ALMOST_OPTIMAL, status)
+        status = jnp.where(loose_fire & fj_ok(loose) & ~kkt_ok(loose),
+                           INFEASIBLE_STATIONARY, status)
+        status = jnp.where(fj_ok(tol), INFEASIBLE_STATIONARY, status)
+        status = jnp.where(kkt_ok(tol), OPTIMAL, status)
+        status = jnp.where(f < opts.unbounded_objective_threshold, UNBOUNDED,
+                           status)
+        status = jnp.where((status == RUNNING)
+                           & (s.iteration >= opts.max_iterations),
+                           MAX_ITERATIONS, status)
+
+        # ---- steering sub-loop: one relaxed-QP solve per trip ---------------
+        # stage 0: solve at rho, decide whether to steer (linearized residual
+        #          > tol, l1Relaxation.cpp:105-155)
+        # stage 1: feasibility solve at rho = 0 (stage c) + aggressive cut
+        #          from the FJ dual error (stage f)
+        # stage 2: refresh at current rho, then run the stage-d (linearized
+        #          sufficient decrease) and stage-e (l1-merit descent) checks;
+        #          on failure divide rho and refresh again
+        dl = jnp.where(has_xl, xl - x, -LARGE_BOUND)
+        du = jnp.where(has_xu, xu - x, LARGE_BOUND)
+        c_rel = c + (_mv(E, s.ev) if n_el else 0.0)
+        rl = jnp.where(has_cl, cl - c_rel, -LARGE_BOUND)
+        ru = jnp.where(has_cu, cu - c_rel, LARGE_BOUND)
+        dl_q = jnp.concatenate([dl, -s.ev])
+        du_q = jnp.concatenate([du, jnp.full((n_el,), LARGE_BOUND)])
+        J_q = jnp.concatenate([J, E], axis=1) if m else jnp.zeros((0, n + n_el))
+
+        def solve_at(r):
+            H = hessian(x, s.y, r, params)
+            if use_primal_reg:
+                H = primal_reg(H)
+            g_q = jnp.concatenate([r * g, jnp.full((n_el,), nu)])
+            H_q = jnp.zeros((n + n_el, n + n_el)).at[:n, :n].set(H)
+            return solve_qp_rel(g_q, H_q, J_q, rl, ru, dl_q, du_q)
+
+        def lin_res_of(d_full):
+            return violation(c + (_mv(J, d_full[:n]) if m else 0.0), "L1")
+
+        zvec = jnp.zeros((n + n_el,))
+        st0 = dict(
+            stage=jnp.asarray(0), rho=rho0,
+            d=zvec, y_q=jnp.zeros((m,)), zl_q=zvec, zu_q=zvec,
+            qp_status=jnp.asarray(QP_OPTIMAL), qp_obj=jnp.asarray(0.0),
+            lin=jnp.asarray(jnp.inf),
+            lowest=jnp.asarray(0.0), lowest_obj=jnp.asarray(0.0),
+            y_f=s.y_f, zl_f=s.zl_f, zu_f=s.zu_f, zl_el_f=s.zl_el,
+            have_f=jnp.asarray(False),
+            cd=jnp.asarray(0), ce=jnp.asarray(0),
+            nqp=jnp.asarray(0), done=jnp.asarray(False))
+
+        def steer_cond(t):
+            return ~t["done"] & (t["nqp"] < 3 + 2 * MAXD)
+
+        def steer_body(t):
+            stage = t["stage"]
+            r_solve = jnp.where(stage == 1, 0.0, t["rho"])
+            res = solve_at(r_solve)
+            lin = lin_res_of(res.d)
+            out = dict(t)
+            out["nqp"] = t["nqp"] + 1
+
+            is0, is1 = stage == 0, stage == 1
+            refresh = is0 | (stage == 2)
+            # stage 0 / stage 2 refresh the CURRENT direction
+            for k, v in (("d", res.d), ("y_q", res.y), ("zl_q", res.zl),
+                         ("zu_q", res.zu), ("qp_status", res.status),
+                         ("qp_obj", res.objective), ("lin", lin)):
+                out[k] = jnp.where(refresh, v, t[k])
+
+            # stage 0 -> steer or exit (stage a: linearized residual small)
+            need = (t["rho"] > 0) & (not fixed_rho) & (lin > tol) & (m > 0) & \
+                (res.status == QP_OPTIMAL)
+            out["stage"] = jnp.where(is0, jnp.where(need, 1, 0), out["stage"])
+            out["done"] = jnp.where(is0, ~need, out["done"])
+
+            # stage 1: record feasibility result (duals feed the FJ test,
+            # l1Relaxation.cpp:130-131), aggressive cut (stage f)
+            zl_t, zu_t = res.zl[:n], res.zu[:n]
+            nontrivial = (jnp.max(jnp.abs(res.y), initial=0.0) > dust) | \
+                (jnp.max(jnp.abs(zl_t + zu_t), initial=0.0) > dust)
+            grad_f = -(_mtv(J, res.y) if m else 0.0) - zl_t - zu_t
+            err = jnp.sum(jnp.abs(grad_f))
+            bct = jnp.where(has_xl & (zl_t > 0), zl_t * (x - jnp.where(has_xl, xl, 0.0)), 0.0) \
+                + jnp.where(has_xu & (zu_t < 0), zu_t * (x - jnp.where(has_xu, xu, 0.0)), 0.0)
+            err = err + jnp.sum(jnp.abs(bct)) \
+                + jnp.sum(jnp.abs(con_compl(c, res.y)))
+            scaled = err / jnp.maximum(1.0, pf)
+            rho_cut = jnp.where(nontrivial, jnp.minimum(t["rho"], scaled * scaled),
+                                t["rho"])
+            out["rho"] = jnp.where(is1, rho_cut, out["rho"])
+            out["lowest"] = jnp.where(is1, lin, t["lowest"])
+            out["lowest_obj"] = jnp.where(is1, pf - res.objective, t["lowest_obj"])
+            for k, v in (("y_f", res.y), ("zl_f", zl_t), ("zu_f", zu_t),
+                         ("zl_el_f", res.zl[n:])):
+                out[k] = jnp.where(is1, v, t[k])
+            out["have_f"] = t["have_f"] | is1
+            out["stage"] = jnp.where(is1, 2, out["stage"])
+
+            # stage 2 (after refresh): stage-d then stage-e checks
+            h_l1 = violation(c, "L1")
+            d_ok = jnp.where(out["lowest"] <= small_thr,
+                             out["lin"] <= small_thr,
+                             (h_l1 - out["lin"])
+                             >= eps1 * (h_l1 - out["lowest"]))
+            pred = pf - out["qp_obj"]
+            e_ok = pred >= eps2 * out["lowest_obj"]
+            rho_pos = out["rho"] > 0
+            dec_d = (stage == 2) & ~d_ok & (t["cd"] < MAXD) & rho_pos
+            dec_e = (stage == 2) & d_ok & ~e_ok & (t["ce"] < MAXD) & rho_pos
+            out["cd"] = t["cd"] + jnp.where(dec_d, 1, 0)
+            out["ce"] = t["ce"] + jnp.where(dec_e, 1, 0)
+            out["rho"] = jnp.where(dec_d | dec_e, out["rho"] / dec,
+                                   out["rho"])
+            out["done"] = jnp.where(stage == 2, ~(dec_d | dec_e), out["done"])
+            return out
+
+        st = lax.while_loop(steer_cond, steer_body, st0)
+        rho = st["rho"]
+        dx, dev = st["d"][:n], st["d"][n:]
+        y_new = st["y_q"]
+        zl_new, zu_new = st["zl_q"][:n], st["zu_q"][:n]
+        zl_el_new = st["zl_q"][n:]
+        dir_norm = jnp.max(jnp.abs(dx), initial=0.0)
+        qp_bad = (st["qp_status"] == QP_ERROR) | (st["qp_status"] == QP_UNBOUNDED)
+
+        # ---- backtracking line search on the l1 merit (sigma = rho) ---------
+        dual_alpha_scaled = opts.LS_scale_duals_with_step_length
+        gdx = jnp.dot(g, dx)
+
+        def ls_trial(alpha):
+            x_t = jnp.clip(x + alpha * dx, jnp.where(has_xl, xl, -jnp.inf),
+                           jnp.where(has_xu, xu, jnp.inf))
+            ev_t = jnp.maximum(s.ev + alpha * dev, 0.0)
+            f_t = nlp.objective(x_t, params=params)
+            c_t = nlp.constraints(x_t, params=params) if m else jnp.zeros((0,))
+            return x_t, ev_t, f_t, c_t
+
+        ls0 = dict(alpha=jnp.asarray(1.0), trips=jnp.asarray(0),
+                   accepted=jnp.asarray(False), failed=jnp.asarray(False),
+                   x_t=x, ev_t=s.ev, f_t=f, c_t=c)
+
+        def ls_cond(t):
+            return ~t["accepted"] & ~t["failed"] & (t["trips"] < ls_max)
+
+        def ls_body(t):
+            alpha = t["alpha"]
+            x_t, ev_t, f_t, c_t = ls_trial(alpha)
+            h_t = violation(c_t, opts.progress_norm)
+            c_lin = c + alpha * (_mv(J, dx) if m else jnp.zeros((0,)))
+            pred_h = h_cur - violation(c_lin, opts.progress_norm)
+            pred_obj = alpha * (-gdx)   # first-order model (host driver)
+            acc = flt.l1_merit_acceptable(
+                h_cur, rho * f, 0.0, h_t, rho * f_t, 0.0,
+                pred_h, rho * pred_obj, 0.0, opts,
+                roundoff * jnp.abs(rho * f + h_cur))
+            finite = jnp.isfinite(f_t) & jnp.all(jnp.isfinite(c_t))
+            acc = (acc & finite) | (dir_norm <= 1e-10)
+            small = alpha < opts.LS_min_step_length
+            return dict(alpha=jnp.where(acc | small, alpha,
+                                        alpha * opts.LS_backtracking_ratio),
+                        trips=t["trips"] + 1,
+                        accepted=acc, failed=small & ~acc,
+                        x_t=x_t, ev_t=ev_t, f_t=f_t, c_t=c_t)
+
+        ls = lax.while_loop(ls_cond, ls_body, ls0)
+        alpha = ls["alpha"]
+        accepted = ls["accepted"] & ~qp_bad
+        ls_failed = (ls["failed"] | (~ls["accepted"] & ~qp_bad
+                                     & (ls["trips"] >= ls_max)))
+
+        # trial duals (GlobalizationMechanism.cpp:11-31: bound duals full
+        # step, constraint duals scaled when LS_scale_duals_with_step_length)
+        da = alpha if dual_alpha_scaled else 1.0
+        y_t = s.y + da * (y_new - s.y)
+
+        # small-step termination at the failed-LS trial (BacktrackingLineSearch
+        # .cpp:91-95,115-124), evaluated once per outer iteration
+        x_t, ev_t, f_t, c_t = ls["x_t"], ls["ev_t"], ls["f_t"], ls["c_t"]
+        g_t = nlp.objective_gradient(x_t, params=params)
+        J_t = nlp.constraint_jacobian(x_t, params=params) if m else J
+        pf_t = violation(c_t, rn)
+        grad_lag_t = rho * g_t - (_mtv(J_t, y_t) if m else 0.0) - zl_new - zu_new
+        stat_t = vector_norm(grad_lag_t, rn)
+        bc_t = jnp.where(has_xl & (zl_new > 0),
+                         zl_new * (x_t - jnp.where(has_xl, xl, 0.0)), 0.0) \
+            + jnp.where(has_xu & (zu_new < 0),
+                        zu_new * (x_t - jnp.where(has_xu, xu, 0.0)), 0.0)
+        compl_t = vector_norm(jnp.concatenate([bc_t, con_compl(c_t, y_t)])
+                              if m else bc_t, rn)
+        ssc_t, csc_t = scalings(y_t, zl_new, zu_new)
+
+        def kkt_t_ok(t):
+            return ((stat_t / ssc_t <= t) & (pf_t <= t)
+                    & (compl_t / csc_t <= t) & (rho > 0))
+
+        small_opt = ls_failed & kkt_t_ok(tol)
+        small_almost = ls_failed & ~small_opt & kkt_t_ok(loose)
+        accepted = accepted | small_opt | small_almost
+        status = jnp.where((status == RUNNING) & small_opt, OPTIMAL, status)
+        status = jnp.where((status == RUNNING) & small_almost, ALMOST_OPTIMAL,
+                           status)
+        status = jnp.where((status == RUNNING) & (qp_bad | (ls_failed
+                           & ~small_opt & ~small_almost)),
+                           ALGORITHMIC_ERROR, status)
+
+        # ---- commit ---------------------------------------------------------
+        running = s.status == RUNNING
+        com = accepted & running
+
+        def sel(new, old):
+            return jnp.where(com, new, old)
+
+        return ByrdFState(
+            x=sel(x_t, x), ev=sel(ev_t, s.ev),
+            y=sel(y_t, s.y), zl=sel(zl_new, s.zl), zu=sel(zu_new, s.zu),
+            # feasibility duals refresh whenever the steering solved the
+            # feasibility QP (the host driver mutates the iterate in place)
+            y_f=jnp.where(st["have_f"] & running, st["y_f"], s.y_f),
+            zl_f=jnp.where(st["have_f"] & running, st["zl_f"], s.zl_f),
+            zu_f=jnp.where(st["have_f"] & running, st["zu_f"], s.zu_f),
+            zl_el=sel(zl_el_new, s.zl_el),
+            f_cur=sel(f_t, f), c_cur=sel(c_t, c),
+            rho=jnp.where(running, rho, s.rho),
+            status=jnp.where(running, status, s.status),
+            iteration=s.iteration + jnp.where(running, 1, 0),
+            loose_count=loose_count,
+            stat=stat, stat_scaling=ssc, compl=compl, compl_scaling=csc,
+            primal_feas=pf,
+            num_qp=s.num_qp + jnp.where(running, st["nqp"], 0),
+            num_obj_evals=s.num_obj_evals + jnp.where(running, ls["trips"] + 1, 0),
+            num_con_evals=s.num_con_evals + jnp.where(running, ls["trips"] + 1, 0),
+            num_hess=s.num_hess + jnp.where(running, st["nqp"], 0),
+            params=params,
+        )
+
+    return step
+
+
+def make_initial_byrd_state(nlp: NLP, ws: FusedSQPWorkspace, opts: Options,
+                            x0=None, params=None) -> ByrdFState:
+    n, m, n_el = ws.n, ws.m, ws.n_el
+    if params is None:
+        params = nlp.params
+    x = jnp.clip(jnp.asarray(nlp.x0 if x0 is None else x0, dtype=jnp.float64),
+                 jnp.asarray(ws.xl), jnp.asarray(ws.xu))
+    f = nlp.objective(x, params=params)
+    c = nlp.constraints(x, params=params) if m else jnp.zeros((0,))
+    y0 = jnp.asarray(np.asarray(nlp.y0, dtype=float)) if nlp.y0 is not None \
+        else jnp.zeros((m,))
+    z = jnp.zeros((n,))
+    return ByrdFState(
+        x=x, ev=jnp.zeros((n_el,)), y=y0, zl=z, zu=z,
+        y_f=jnp.zeros((m,)), zl_f=z, zu_f=z, zl_el=jnp.ones((n_el,)),
+        f_cur=f, c_cur=c,
+        rho=jnp.asarray(float(opts.l1_relaxation_initial_parameter)),
+        status=jnp.asarray(RUNNING), iteration=jnp.asarray(0),
+        loose_count=jnp.asarray(0),
+        stat=jnp.asarray(jnp.inf), stat_scaling=jnp.asarray(1.0),
+        compl=jnp.asarray(jnp.inf), compl_scaling=jnp.asarray(1.0),
+        primal_feas=jnp.asarray(jnp.inf),
+        num_qp=jnp.asarray(0), num_obj_evals=jnp.asarray(1),
+        num_con_evals=jnp.asarray(1), num_hess=jnp.asarray(0),
+        params=params,
+    )
+
+
+def build_byrd_fused(nlp: NLP, opts: Options):
+    """Compile-time setup; returns (nlp_transformed, ws, step, jitted run)."""
+    scaled = transforms.scale_model(nlp, opts.function_scaling_threshold) \
+        if opts.scale_functions else nlp
+    prob = transforms.fixed_bounds_to_constraints(scaled)
+    ws = _build_workspace(prob)
+    step = make_byrd_step(prob, ws, opts)
+
+    def run(state):
+        return lax.while_loop(lambda s: s.status == RUNNING, step, state)
+
+    return prob, ws, step, jax.jit(run)
+
+
+def solve_byrd_fused(nlp: NLP, opts: Options, callbacks=None,
+                     history=False) -> Result:
+    t0 = time.time()
+    prob, ws, step, run = build_byrd_fused(nlp, opts)
+    state0 = canonicalize_state(make_initial_byrd_state(prob, ws, opts))
+    trace = None
+    if history or callbacks is not None:
+        stepj = jax.jit(step)
+        s = state0
+        trace = [s] if history else None
+        while int(s.status) == RUNNING:
+            s = stepj(s)
+            if history:
+                trace.append(s)
+            if callbacks is not None and hasattr(callbacks, "notify_new_primals"):
+                callbacks.notify_new_primals(np.asarray(s.x)[: nlp.n])
+            if callbacks is not None and hasattr(callbacks, "notify_new_multipliers"):
+                callbacks.notify_new_multipliers(np.asarray(s.y)[: nlp.m])
+        final = s
+    else:
+        final = jax.block_until_ready(run(state0))
+    elapsed = time.time() - t0
+
+    f_scale = prob.f_scale
+    c_scale = prob.c_scale if prob.c_scale is not None else np.ones(max(ws.m, 1))
+    m0 = nlp.m
+    x_orig = np.asarray(final.x)[: nlp.n]
+    y = np.asarray(final.y)[:m0] * c_scale[:m0] / f_scale if m0 else np.zeros(0)
+    if callbacks is not None and hasattr(callbacks, "notify_acceptable_iterate"):
+        callbacks.notify_acceptable_iterate(x_orig, y, float(final.rho))
+    return Result(
+        status=SQP_STATUS_NAMES[int(final.status)],
+        x=x_orig, y=y,
+        zl=np.asarray(final.zl)[: nlp.n] / f_scale,
+        zu=np.asarray(final.zu)[: nlp.n] / f_scale,
+        objective=float(nlp.objective(jnp.asarray(x_orig))),
+        iterations=int(final.iteration),
+        primal_feasibility=float(final.primal_feas),
+        stationarity=float(final.stat / final.stat_scaling),
+        complementarity=float(final.compl / final.compl_scaling),
+        cpu_time=elapsed,
+        num_subproblems_solved=int(final.num_qp),
+        num_factorizations=int(final.num_hess),
+        num_objective_evaluations=int(final.num_obj_evals),
+        num_constraint_evaluations=int(final.num_con_evals),
+        history=trace,
+    )
+
+
 def make_initial_sqp_state(nlp: NLP, ws: FusedSQPWorkspace, opts: Options,
                            x0=None, params=None) -> SQPFState:
     n, m, n_el = ws.n, ws.m, ws.n_el
