@@ -24,7 +24,7 @@ E2E_CORE = ["srosenbr", "tridia", "lukvle1", "lukvli1", "sphere_proj",
 
 @pytest.mark.parametrize("name", FAMILIES)
 def test_family_wellformed(name):
-    builder, f_star, sizes, min_n = lc._FAMILIES[name]
+    builder, f_star, sizes, min_n, _locs = lc._FAMILIES[name]
     nlp = builder(max(10, min_n))
     assert nlp.n >= 1 and nlp.m >= 0
     x0 = jnp.asarray(np.clip(
@@ -38,7 +38,7 @@ def test_family_wellformed(name):
 
 
 def _solve_and_check(name, n, preset="ipopt", rtol=1e-4):
-    builder, f_star, sizes, min_n = lc._FAMILIES[name]
+    builder, f_star, sizes, min_n, _locs = lc._FAMILIES[name]
     nlp = builder(n)
     res = uno_tpu.solve(nlp, preset=preset)
     ok = res.success or (res.status == "feasible_small_step"

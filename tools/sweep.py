@@ -80,13 +80,15 @@ MAX_ITER = {"ipopt": 2000, "filtersqp": 500, "funnelsqp": 500,
             "byrd": 500, "filterslp": 500}
 
 
-def run_preset(preset, names, sqp_cap=150, max_n=None, flush=None):
+def run_preset(preset, names, sqp_cap=150, max_n=None, min_n=None, flush=None):
     rows = []
     for name in names:
         if flush is not None and len(rows) % 10 == 9:
             flush(preset, rows)
         nlp = get_problem(name)
         if max_n is not None and nlp.n + nlp.m > max_n:
+            continue
+        if min_n is not None and nlp.n + nlp.m <= min_n:
             continue
         if preset != "ipopt" and nlp.n + nlp.m > sqp_cap:
             continue
@@ -135,6 +137,8 @@ def main():
     out_file = popopt("--out")
     max_n = popopt("--max-n")
     max_n = int(max_n) if max_n else None
+    min_n = popopt("--min-n")
+    min_n = int(min_n) if min_n else None
     sqp_cap = int(popopt("--sqp-cap", "150"))
     if sl:
         start, stop = sl.split(":")
@@ -152,7 +156,7 @@ def main():
 
     for preset in presets:
         rows = run_preset(preset, names, sqp_cap=sqp_cap, max_n=max_n,
-                          flush=flush)
+                          min_n=min_n, flush=flush)
         all_rows[preset] = rows
         solved = [r for r in rows if r["solved"]]
         print(f"\n== {preset}: {len(solved)}/{len(rows)} solved "

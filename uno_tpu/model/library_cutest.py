@@ -27,10 +27,12 @@ SIZES = (10, 100, 1000)
 _FAMILIES: dict = {}
 
 
-def family(name, f_star=None, sizes=SIZES, min_n=2):
-    """f_star: None, a constant, or a callable n -> value."""
+def family(name, f_star=None, sizes=SIZES, min_n=2, local_optima=()):
+    """f_star / local_optima entries: None, a constant, or a callable
+    n -> value (documented secondary first-order points, e.g. MGH's
+    BROWNAL local minimum f = 1)."""
     def deco(builder):
-        _FAMILIES[name] = (builder, f_star, sizes, min_n)
+        _FAMILIES[name] = (builder, f_star, sizes, min_n, local_optima)
         return builder
     return deco
 
@@ -46,12 +48,13 @@ def cutest_problem(name: str, n: int) -> NLP:
 
 def _reg_all():
     """Register every (family, size) instance into the main registry."""
-    for name, (builder, f_star, sizes, min_n) in _FAMILIES.items():
+    for name, (builder, f_star, sizes, min_n, locs) in _FAMILIES.items():
         for n in sizes:
             if n < min_n:
                 continue
             fs = f_star(n) if callable(f_star) else f_star
-            register(f"{name}_n{n}", f_star=fs)(
+            lo = tuple(l(n) if callable(l) else l for l in locs)
+            register(f"{name}_n{n}", f_star=fs, local_optima=lo)(
                 lambda name=name, n=n: cutest_problem(name, n))
 
 
@@ -223,10 +226,11 @@ def vardim(n):
     return nlp_from_functions(f"vardim_n{n}", f, None, x0=x0)
 
 
-@family("brownal", f_star=0.0)
+@family("brownal", f_star=0.0, local_optima=(1.0,))
 def brownal(n):
     """MGH #27 Brown almost-linear: sum_{i<n} (x_i + sum x - (n+1))^2
-    + (prod x - 1)^2; min 0 at x=1."""
+    + (prod x - 1)^2; min 0 at x=1; documented local minimum f = 1 at
+    x = (0, ..., 0, n+1) (MGH 1981)."""
     def f(x):
         s = jnp.sum(x)
         r = x[:-1] + s - (x.shape[0] + 1.0)
@@ -521,7 +525,8 @@ _FAMILIES["sphere_proj"] = (
     _FAMILIES["sphere_proj"][0],
     lambda n: 0.5 * (float(np.linalg.norm(
         np.random.default_rng(n).standard_normal(n))) - 1.0) ** 2,
-    _FAMILIES["sphere_proj"][2], _FAMILIES["sphere_proj"][3])
+    _FAMILIES["sphere_proj"][2], _FAMILIES["sphere_proj"][3],
+    _FAMILIES["sphere_proj"][4])
 
 
 @family("structqp", min_n=8)
