@@ -790,6 +790,10 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
         status = jnp.where((status == RUNNING)
                            & (s.iteration >= opts.max_iterations),
                            MAX_ITERATIONS, status)
+        # terminal at the top of the trip (converged / iteration limit):
+        # the remaining work this trip is discarded, like the reference's
+        # while-condition check before each pass (Uno.cpp:61-78)
+        alive = status == RUNNING
 
         # ---- steering sub-loop: one relaxed-QP solve per trip ---------------
         # stage 0: solve at rho, decide whether to steer (linearized residual
@@ -988,7 +992,7 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
 
         # ---- commit ---------------------------------------------------------
         running = s.status == RUNNING
-        com = accepted & running
+        com = accepted & running & alive
 
         def sel(new, old):
             return jnp.where(com, new, old)
@@ -998,21 +1002,28 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
             y=sel(y_t, s.y), zl=sel(zl_new, s.zl), zu=sel(zu_new, s.zu),
             # feasibility duals refresh whenever the steering solved the
             # feasibility QP (the host driver mutates the iterate in place)
-            y_f=jnp.where(st["have_f"] & running, st["y_f"], s.y_f),
-            zl_f=jnp.where(st["have_f"] & running, st["zl_f"], s.zl_f),
-            zu_f=jnp.where(st["have_f"] & running, st["zu_f"], s.zu_f),
+            y_f=jnp.where(st["have_f"] & running & alive, st["y_f"], s.y_f),
+            zl_f=jnp.where(st["have_f"] & running & alive, st["zl_f"], s.zl_f),
+            zu_f=jnp.where(st["have_f"] & running & alive, st["zu_f"], s.zu_f),
             zl_el=sel(zl_el_new, s.zl_el),
             f_cur=sel(f_t, f), c_cur=sel(c_t, c),
-            rho=jnp.where(running, rho, s.rho),
+            rho=jnp.where(running & alive, rho, s.rho),
             status=jnp.where(running, status, s.status),
-            iteration=s.iteration + jnp.where(running, 1, 0),
+            # count outer iterations that did work; the trip that merely
+            # flags a terminal status at its top is bookkeeping, not an
+            # iteration (keeps counts aligned with the host driver)
+            iteration=s.iteration + jnp.where(running
+                                              & ((status == RUNNING) | com),
+                                              1, 0),
             loose_count=loose_count,
             stat=stat, stat_scaling=ssc, compl=compl, compl_scaling=csc,
             primal_feas=pf,
-            num_qp=s.num_qp + jnp.where(running, st["nqp"], 0),
-            num_obj_evals=s.num_obj_evals + jnp.where(running, ls["trips"] + 1, 0),
-            num_con_evals=s.num_con_evals + jnp.where(running, ls["trips"] + 1, 0),
-            num_hess=s.num_hess + jnp.where(running, st["nqp"], 0),
+            num_qp=s.num_qp + jnp.where(running & alive, st["nqp"], 0),
+            num_obj_evals=s.num_obj_evals
+            + jnp.where(running & alive, ls["trips"] + 1, 0),
+            num_con_evals=s.num_con_evals
+            + jnp.where(running & alive, ls["trips"] + 1, 0),
+            num_hess=s.num_hess + jnp.where(running & alive, st["nqp"], 0),
             params=params,
         )
 
