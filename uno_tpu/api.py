@@ -8,6 +8,15 @@ from uno_tpu.options import Options, preset as _preset
 from uno_tpu.model.nlp import NLP
 
 
+def is_byrd_family(options: Options) -> bool:
+    """True iff this config routes to the l1-merit-hardwired fused byrd
+    driver (LS + l1 relaxation + l1 merit).  Shared by solve() and
+    solve_batch() so both route identically (advisor round-2 finding)."""
+    return (options.globalization_mechanism == "LS"
+            and options.constraint_relaxation_strategy == "l1_relaxation"
+            and options.globalization_strategy == "l1_merit")
+
+
 def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = None,
           callbacks=None, history=False, **overrides):
     """Solve an NLP. Returns a Result.
@@ -30,10 +39,7 @@ def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = N
         return solve_ipm(nlp, options, callbacks=callbacks, history=history)
     else:
         driver = options.sqp_driver
-        is_byrd_family = (options.globalization_mechanism == "LS"
-                          and options.constraint_relaxation_strategy
-                          == "l1_relaxation"
-                          and options.globalization_strategy == "l1_merit")
+        byrd_family = is_byrd_family(options)
         if driver == "auto":
             # the fused lax.while_loop drivers cover the TR +
             # feasibility-restoration family (filtersqp/funnelsqp/filterslp)
@@ -43,11 +49,11 @@ def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = N
                     and options.constraint_relaxation_strategy
                     == "feasibility_restoration"):
                 driver = "fused"
-            elif is_byrd_family:
+            elif byrd_family:
                 driver = "fused"
             else:
                 driver = "host"
-        if driver == "fused" and is_byrd_family:
+        if driver == "fused" and byrd_family:
             from uno_tpu.solvers.sqp_fused import solve_byrd_fused
             return solve_byrd_fused(nlp, options, callbacks=callbacks,
                                     history=history)

@@ -84,7 +84,13 @@ def regularize_and_factor(
     factor_dtype = jnp.dtype(getattr(opts, "kkt_dtype", "float64"))
 
     def factor(delta, eps):
-        return factorize(assemble(delta, eps).astype(factor_dtype))
+        # assemble may return a dense matrix OR a structured pytree (e.g.
+        # BandedKKT); cast every float leaf to the factor dtype either way
+        import jax
+        assembled = assemble(delta, eps)
+        assembled = jax.tree_util.tree_map(
+            lambda a: a.astype(factor_dtype), assembled)
+        return factorize(assembled)
 
     def inertia_ok(fac):
         return (fac.num_pos == expected_pos) & (fac.num_neg == expected_neg) \

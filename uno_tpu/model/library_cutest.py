@@ -20,7 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from uno_tpu.model.library import register
-from uno_tpu.model.nlp import NLP, nlp_from_functions, INF
+import dataclasses
+
+from uno_tpu.model import transforms
+from uno_tpu.model.nlp import NLPStructure, NLP, nlp_from_functions, INF
 
 SIZES = (10, 100, 1000)
 
@@ -47,14 +50,26 @@ def cutest_problem(name: str, n: int) -> NLP:
 
 
 def _reg_all():
-    """Register every (family, size) instance into the main registry."""
+    """Register every (family, size) instance into the main registry.
+
+    Builders snap the requested size to their structure (grids use
+    g = isqrt(n) so n -> g*g; control families use N = n//3 stages), so the
+    registry key is derived from the ACTUAL built dimension, keeping key,
+    inner NLP name, and size filters consistent (advisor round-2 finding).
+    Building every instance once costs <1 s total."""
+    seen = set()
     for name, (builder, f_star, sizes, min_n, locs) in _FAMILIES.items():
         for n in sizes:
             if n < min_n:
                 continue
+            actual_n = builder(n).n
+            key = f"{name}_n{actual_n}"
+            if key in seen:
+                continue
+            seen.add(key)
             fs = f_star(n) if callable(f_star) else f_star
             lo = tuple(l(n) if callable(l) else l for l in locs)
-            register(f"{name}_n{n}", f_star=fs, local_optima=lo)(
+            register(key, f_star=fs, local_optima=lo)(
                 lambda name=name, n=n: cutest_problem(name, n))
 
 
@@ -72,7 +87,8 @@ def srosenbr(n):
         return jnp.sum(100.0 * (xe - xo ** 2) ** 2 + (1.0 - xo) ** 2)
 
     x0 = np.tile([-1.2, 1.0], n // 2)
-    return nlp_from_functions(f"srosenbr_n{n}", f, None, x0=x0)
+    return nlp_from_functions(f"srosenbr_n{n}", f, None, x0=x0,
+                              structure=NLPStructure(hess_bandwidth=1))
 
 
 @family("arwhead", f_star=0.0)
@@ -113,7 +129,8 @@ def engval1(n):
     def f(x):
         return jnp.sum((x[:-1] ** 2 + x[1:] ** 2) ** 2 - 4.0 * x[:-1] + 3.0)
 
-    return nlp_from_functions(f"engval1_n{n}", f, None, x0=np.full(n, 2.0))
+    return nlp_from_functions(f"engval1_n{n}", f, None, x0=np.full(n, 2.0),
+                              structure=NLPStructure(hess_bandwidth=1))
 
 
 @family("edensch")
@@ -125,7 +142,8 @@ def edensch(n):
         return 16.0 + jnp.sum((a - 2.0) ** 4 + (a * b - 2.0 * b) ** 2
                               + (b + 1.0) ** 2)
 
-    return nlp_from_functions(f"edensch_n{n}", f, None, x0=np.zeros(n))
+    return nlp_from_functions(f"edensch_n{n}", f, None, x0=np.zeros(n),
+                              structure=NLPStructure(hess_bandwidth=1))
 
 
 @family("cragglvy", min_n=4)
@@ -142,7 +160,8 @@ def cragglvy(n):
 
     x0 = np.full(n, 2.0)
     x0[0] = 1.0
-    return nlp_from_functions(f"cragglvy_n{n}", f, None, x0=x0)
+    return nlp_from_functions(f"cragglvy_n{n}", f, None, x0=x0,
+                              structure=NLPStructure(hess_bandwidth=3))
 
 
 @family("freuroth", min_n=2)
@@ -156,7 +175,8 @@ def freuroth(n):
 
     x0 = np.zeros(n)
     x0[0], x0[1] = 0.5, -2.0
-    return nlp_from_functions(f"freuroth_n{n}", f, None, x0=x0)
+    return nlp_from_functions(f"freuroth_n{n}", f, None, x0=x0,
+                              structure=NLPStructure(hess_bandwidth=1))
 
 
 @family("tridia", f_star=0.0)
@@ -167,7 +187,8 @@ def tridia(n):
         i = jnp.arange(2, x.shape[0] + 1, dtype=x.dtype)
         return (x[0] - 1.0) ** 2 + jnp.sum(i * (2.0 * x[1:] - x[:-1]) ** 2)
 
-    return nlp_from_functions(f"tridia_n{n}", f, None, x0=np.ones(n))
+    return nlp_from_functions(f"tridia_n{n}", f, None, x0=np.ones(n),
+                              structure=NLPStructure(hess_bandwidth=1))
 
 
 @family("dqrtic", f_star=0.0)
@@ -177,7 +198,8 @@ def dqrtic(n):
         i = jnp.arange(1, x.shape[0] + 1, dtype=x.dtype)
         return jnp.sum((x - i) ** 4)
 
-    return nlp_from_functions(f"dqrtic_n{n}", f, None, x0=np.full(n, 2.0))
+    return nlp_from_functions(f"dqrtic_n{n}", f, None, x0=np.full(n, 2.0),
+                              structure=NLPStructure(hess_bandwidth=0))
 
 
 @family("woods", f_star=0.0, min_n=4)
@@ -193,7 +215,8 @@ def woods(n):
                        + 0.1 * (x2 - x4) ** 2)
 
     x0 = np.tile([-3.0, -1.0, -3.0, -1.0], n // 4)
-    return nlp_from_functions(f"woods_n{n}", f, None, x0=x0)
+    return nlp_from_functions(f"woods_n{n}", f, None, x0=x0,
+                              structure=NLPStructure(hess_bandwidth=3))
 
 
 @family("powellsg", f_star=0.0, min_n=4)
@@ -208,7 +231,8 @@ def powellsg(n):
                        + (x2 - 2.0 * x3) ** 4 + 10.0 * (x1 - x4) ** 4)
 
     x0 = np.tile([3.0, -1.0, 0.0, 1.0], n // 4)
-    return nlp_from_functions(f"powellsg_n{n}", f, None, x0=x0)
+    return nlp_from_functions(f"powellsg_n{n}", f, None, x0=x0,
+                              structure=NLPStructure(hess_bandwidth=3))
 
 
 @family("vardim", f_star=0.0)
@@ -269,7 +293,8 @@ def cosine(n):
     def f(x):
         return jnp.sum(jnp.cos(x[:-1] ** 2 - 0.5 * x[1:]))
 
-    return nlp_from_functions(f"cosine_n{n}", f, None, x0=np.ones(n))
+    return nlp_from_functions(f"cosine_n{n}", f, None, x0=np.ones(n),
+                              structure=NLPStructure(hess_bandwidth=1))
 
 
 @family("sinquad", f_star=0.0, min_n=3)
@@ -294,7 +319,8 @@ def broydn3d_ls(n):
     def f(x):
         return jnp.sum(F(x) ** 2)
 
-    return nlp_from_functions(f"broydn3d_ls_n{n}", f, None, x0=np.full(n, -1.0))
+    return nlp_from_functions(f"broydn3d_ls_n{n}", f, None, x0=np.full(n, -1.0),
+                              structure=NLPStructure(hess_bandwidth=2))
 
 
 @family("broydnbd_ls", f_star=0.0, min_n=7)
@@ -312,7 +338,8 @@ def broydnbd_ls(n):
     def f(x):
         return jnp.sum(F(x) ** 2)
 
-    return nlp_from_functions(f"broydnbd_ls_n{n}", f, None, x0=np.full(n, -1.0))
+    return nlp_from_functions(f"broydnbd_ls_n{n}", f, None, x0=np.full(n, -1.0),
+                              structure=NLPStructure(hess_bandwidth=6))
 
 
 @family("genhumps", f_star=0.0)
@@ -326,7 +353,8 @@ def genhumps(n):
 
     x0 = np.full(n, 2.0)
     x0[0] = -2.0
-    return nlp_from_functions(f"genhumps_n{n}", f, None, x0=x0)
+    return nlp_from_functions(f"genhumps_n{n}", f, None, x0=x0,
+                              structure=NLPStructure(hess_bandwidth=1))
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +371,8 @@ def biggsb1(n):
 
     return nlp_from_functions(
         f"biggsb1_n{n}", f, None, x0=np.zeros(n),
-        x_lb=np.zeros(n), x_ub=np.full(n, 0.9))
+        x_lb=np.zeros(n), x_ub=np.full(n, 0.9),
+        structure=NLPStructure(hess_bandwidth=1))
 
 
 @family("obstacle", min_n=16)
@@ -365,7 +394,8 @@ def obstacle(n):
     lb[q:g - q, q:g - q] = 0.3  # plateau obstacle
     return nlp_from_functions(
         f"obstacle_n{g * g}", f, None, x0=np.zeros(g * g),
-        x_lb=lb.ravel(), x_ub=np.full(g * g, INF))
+        x_lb=lb.ravel(), x_ub=np.full(g * g, INF),
+        structure=NLPStructure(hess_bandwidth=g))
 
 
 # ===========================================================================
@@ -390,7 +420,10 @@ def lukvle1(n):
     x0[1::2] = 1.0
     return nlp_from_functions(
         f"lukvle1_n{n}", f, c, x0=x0,
-        c_lb=np.zeros(m), c_ub=np.zeros(m))
+        c_lb=np.zeros(m), c_ub=np.zeros(m),
+        structure=NLPStructure(hess_bandwidth=2,
+                               jac_starts=np.arange(m, dtype=np.int64),
+                               jac_width=3))
 
 
 @family("lukvli1", min_n=3)
@@ -400,7 +433,8 @@ def lukvli1(n):
     m = n - 2
     return nlp_from_functions(
         f"lukvli1_n{n}", base.objective, base.constraints, x0=np.asarray(base.x0),
-        c_lb=np.full(m, -INF), c_ub=np.zeros(m))
+        c_lb=np.full(m, -INF), c_ub=np.zeros(m),
+        structure=base.structure)
 
 
 @family("hager1", min_n=4)
@@ -428,9 +462,19 @@ def hager1(n):
     xl = np.full(nv, -INF)
     xu = np.full(nv, INF)
     xl[0] = xu[0] = 1.0  # x(0) = 1 as a fixed variable
-    return nlp_from_functions(
+    nlp = nlp_from_functions(
         f"hager1_n{nv}", f, c, x0=x0, x_lb=xl, x_ub=xu,
         c_lb=np.zeros(N), c_ub=np.zeros(N))
+    # stage interleave [x_0, (x_1,u_1), (x_2,u_2), ...] makes the KKT banded
+    # (the fill-reducing ordering a sparse solver would compute): row k
+    # touches x_{k-1}, x_k, u_k -> a width-4 window
+    perm = np.concatenate([[0], np.stack([np.arange(1, N + 1),
+                                          N + np.arange(1, N + 1)], 1).ravel()])
+    starts = np.concatenate([[0], 2 * np.arange(1, N, dtype=np.int64) - 1])
+    nlp = transforms.permute_variables(nlp, perm)
+    return dataclasses.replace(nlp, structure=NLPStructure(
+        hess_bandwidth=0, jac_starts=np.minimum(starts, nv - 4),
+        jac_width=4))
 
 
 @family("dtoc1", min_n=6)
@@ -465,9 +509,21 @@ def dtoc1(n):
     x0[T] = 1.0
     xl[T + 1] = xu[T + 1] = -1.0
     x0[T + 1] = -1.0
-    return nlp_from_functions(
+    nlp = nlp_from_functions(
         f"dtoc1_n{nv}", f, c, x0=x0, x_lb=xl, x_ub=xu,
         c_lb=np.zeros(2 * T), c_ub=np.zeros(2 * T))
+    # stage interleave (y_t1, y_t2, u_t): dynamics rows become width-5
+    # windows (banded KKT)
+    perm = np.empty(nv, dtype=np.int64)
+    t_idx = np.arange(T + 1)
+    perm[3 * t_idx] = T + 2 * t_idx          # y_t1
+    perm[3 * t_idx + 1] = T + 1 + 2 * t_idx  # y_t2
+    perm[3 * np.arange(T) + 2] = np.arange(T)  # u_t
+    starts = np.concatenate([3 * np.arange(T, dtype=np.int64)] * 2)
+    nlp = transforms.permute_variables(nlp, perm)
+    return dataclasses.replace(nlp, structure=NLPStructure(
+        hess_bandwidth=0, jac_starts=np.minimum(starts, nv - 5),
+        jac_width=5))
 
 
 @family("catena", min_n=9)
@@ -495,9 +551,12 @@ def catena(n):
     x0 = np.zeros(nv)
     x0[0::2] = np.linspace(0, 1, K + 1)[1:-1]  # x spread
     x0[1::2] = -0.1
+    starts = np.clip(2 * np.arange(K, dtype=np.int64) - 2, 0, max(nv - 4, 0))
     return nlp_from_functions(
         f"catena_n{nv}", f, c, x0=x0,
-        c_lb=np.zeros(K), c_ub=np.zeros(K))
+        c_lb=np.zeros(K), c_ub=np.zeros(K),
+        structure=NLPStructure(hess_bandwidth=3, jac_starts=starts,
+                               jac_width=min(4, nv)))
 
 
 @family("sphere_proj", f_star=None)
@@ -577,7 +636,10 @@ def orthreg(n):
     x0 = np.stack([2.0 * np.cos(t), np.sin(t)], axis=1).ravel()
     return nlp_from_functions(
         f"orthreg_n{2 * K}", f, c, x0=x0,
-        c_lb=np.zeros(K), c_ub=np.zeros(K))
+        c_lb=np.zeros(K), c_ub=np.zeros(K),
+        structure=NLPStructure(hess_bandwidth=1,
+                               jac_starts=2 * np.arange(K, dtype=np.int64),
+                               jac_width=2))
 
 
 @family("elec", min_n=9)
@@ -628,9 +690,21 @@ def gridpde(n):
                - Up[1:-1, :-2] - Up[1:-1, 2:]) / (h * h)
         return lap.ravel() - w
 
-    return nlp_from_functions(
+    nlp = nlp_from_functions(
         f"gridpde_n{2 * N}", f, c, x0=np.zeros(2 * N),
         c_lb=np.zeros(N), c_ub=np.zeros(N))
+    # interleave (u_i, w_i); Laplacian rows span u_{i-g}..u_{i+g} plus w_i
+    # -> width 4g+2 windows
+    nv = 2 * N
+    perm = np.empty(nv, dtype=np.int64)
+    i_idx = np.arange(N)
+    perm[2 * i_idx] = i_idx          # u_i
+    perm[2 * i_idx + 1] = N + i_idx  # w_i
+    w_win = min(4 * g + 2, nv)
+    starts = np.clip(2 * (i_idx - g), 0, nv - w_win).astype(np.int64)
+    nlp = transforms.permute_variables(nlp, perm)
+    return dataclasses.replace(nlp, structure=NLPStructure(
+        hess_bandwidth=0, jac_starts=starts, jac_width=w_win))
 
 
 @family("chainrosen_ineq", min_n=3)
@@ -649,7 +723,10 @@ def chainrosen_ineq(n):
     return nlp_from_functions(
         f"chainrosen_ineq_n{n}", f, c, x0=np.full(n, 0.0),
         x_lb=np.full(n, -5.0), x_ub=np.full(n, 5.0),
-        c_lb=np.full(m, -INF), c_ub=np.full(m, 4.0))
+        c_lb=np.full(m, -INF), c_ub=np.full(m, 4.0),
+        structure=NLPStructure(hess_bandwidth=1,
+                               jac_starts=2 * np.arange(m, dtype=np.int64),
+                               jac_width=2))
 
 
 @family("dblintegrator", min_n=9)
@@ -685,9 +762,21 @@ def dblintegrator(n):
     xl[T] = xu[T] = 1.0  # p(0) = 1
     x0[T] = 1.0
     xl[2 * T + 1] = xu[2 * T + 1] = 0.0  # v(0) = 0
-    return nlp_from_functions(
+    nlp = nlp_from_functions(
         f"dblintegrator_n{nv}", f, c, x0=x0, x_lb=xl, x_ub=xu,
         c_lb=np.zeros(2 * T), c_ub=np.zeros(2 * T))
+    # stage interleave (p_t, v_t, u_t) -> width-4 dynamics windows
+    perm = np.empty(nv, dtype=np.int64)
+    t_idx = np.arange(T + 1)
+    perm[3 * t_idx] = T + t_idx              # p_t
+    perm[3 * t_idx + 1] = 2 * T + 1 + t_idx  # v_t
+    perm[3 * np.arange(T) + 2] = np.arange(T)  # u_t
+    starts = np.concatenate([3 * np.arange(T, dtype=np.int64),
+                             3 * np.arange(T, dtype=np.int64) + 1])
+    nlp = transforms.permute_variables(nlp, perm)
+    return dataclasses.replace(nlp, structure=NLPStructure(
+        hess_bandwidth=0, jac_starts=np.minimum(starts, nv - 4),
+        jac_width=4))
 
 
 # ===========================================================================
@@ -703,7 +792,8 @@ def fletchcr(n):
     def f(x):
         return jnp.sum(100.0 * (x[1:] - x[:-1] + 1.0 - x[:-1] ** 2) ** 2)
 
-    return nlp_from_functions(f"fletchcr_n{n}", f, None, x0=np.zeros(n))
+    return nlp_from_functions(f"fletchcr_n{n}", f, None, x0=np.zeros(n),
+                              structure=NLPStructure(hess_bandwidth=1))
 
 
 @family("genrose", f_star=1.0)
@@ -715,7 +805,8 @@ def genrose(n):
                               + (x[1:] - 1.0) ** 2))
 
     x0 = np.arange(1, n + 1) / (n + 1.0)
-    return nlp_from_functions(f"genrose_n{n}", f, None, x0=x0)
+    return nlp_from_functions(f"genrose_n{n}", f, None, x0=x0,
+                              structure=NLPStructure(hess_bandwidth=1))
 
 
 @family("dqdrtic", f_star=0.0, min_n=3)
@@ -725,7 +816,8 @@ def dqdrtic(n):
     def f(x):
         return jnp.sum(x[:-2] ** 2 + 100.0 * x[1:-1] ** 2 + 100.0 * x[2:] ** 2)
 
-    return nlp_from_functions(f"dqdrtic_n{n}", f, None, x0=np.full(n, 3.0))
+    return nlp_from_functions(f"dqdrtic_n{n}", f, None, x0=np.full(n, 3.0),
+                              structure=NLPStructure(hess_bandwidth=2))
 
 
 @family("nondia")
@@ -763,7 +855,8 @@ def powergq(n):
     def f(x):
         return jnp.sum((w * x) ** 2)
 
-    return nlp_from_functions(f"powergq_n{n}", f, None, x0=np.ones(n))
+    return nlp_from_functions(f"powergq_n{n}", f, None, x0=np.ones(n),
+                              structure=NLPStructure(hess_bandwidth=0))
 
 
 @family("dixmaana", f_star=1.0, min_n=6)
@@ -796,7 +889,8 @@ def morebv(n):
 
     x0 = np.arange(1, n + 1) * h
     x0 = x0 * (x0 - 1.0)
-    return nlp_from_functions(f"morebv_n{n}", f, None, x0=x0)
+    return nlp_from_functions(f"morebv_n{n}", f, None, x0=x0,
+                              structure=NLPStructure(hess_bandwidth=2))
 
 
 @family("trigmgh", f_star=0.0)
@@ -837,7 +931,8 @@ def curly10(n):
         return jnp.sum(q * (q ** 2 * (q ** 2 - 20.0) - 0.1))
 
     x0 = 1e-4 * np.arange(1, n + 1) / (n + 1)
-    return nlp_from_functions(f"curly10_n{n}", f, None, x0=x0)
+    return nlp_from_functions(f"curly10_n{n}", f, None, x0=x0,
+                              structure=NLPStructure(hess_bandwidth=10))
 
 
 @family("penalty2", min_n=2)
@@ -910,7 +1005,8 @@ def torsion(n):
     dist = h * np.minimum(np.minimum(ii, jj), np.minimum(g + 1 - ii, g + 1 - jj))
     return nlp_from_functions(
         f"torsion_n{g * g}", f, None, x0=np.zeros(g * g),
-        x_lb=-dist.ravel(), x_ub=dist.ravel())
+        x_lb=-dist.ravel(), x_ub=dist.ravel(),
+        structure=NLPStructure(hess_bandwidth=g))
 
 
 @family("minsurf", min_n=16, sizes=(100, 1000))
@@ -934,7 +1030,8 @@ def minsurf(n):
         return h * h * jnp.sum(area)
 
     return nlp_from_functions(
-        f"minsurf_n{g * g}", f, None, x0=np.full(g * g, 0.5))
+        f"minsurf_n{g * g}", f, None, x0=np.full(g * g, 0.5),
+        structure=NLPStructure(hess_bandwidth=g))
 
 
 @family("bratu2d_ls", f_star=0.0, min_n=16, sizes=(100, 1000))
@@ -952,7 +1049,9 @@ def bratu2d_ls(n):
         r = lap - h * h * lam * jnp.exp(U)
         return jnp.sum(r ** 2)
 
-    return nlp_from_functions(f"bratu2d_ls_n{g * g}", f, None, x0=np.zeros(g * g))
+    return nlp_from_functions(f"bratu2d_ls_n{g * g}", f, None,
+                              x0=np.zeros(g * g),
+                              structure=NLPStructure(hess_bandwidth=2 * g))
 
 
 @family("clnlbeam", min_n=9)
@@ -994,9 +1093,20 @@ def clnlbeam(n):
     for k in (0, N, N + 1, 2 * N + 1):  # t and x endpoints pinned
         xl[k] = xu[k] = 0.0
         x0[k] = 0.0
-    return nlp_from_functions(
+    nlp = nlp_from_functions(
         f"clnlbeam_n{nv}", f, c, x0=x0, x_lb=xl, x_ub=xu,
         c_lb=np.zeros(2 * N), c_ub=np.zeros(2 * N))
+    # stage interleave (t_k, x_k, u_k) -> width-6 dynamics windows
+    perm = np.empty(nv, dtype=np.int64)
+    k_idx = np.arange(N + 1)
+    perm[3 * k_idx] = k_idx                  # t_k
+    perm[3 * k_idx + 1] = (N + 1) + k_idx    # x_k
+    perm[3 * k_idx + 2] = 2 * (N + 1) + k_idx  # u_k
+    starts = np.concatenate([3 * np.arange(N, dtype=np.int64)] * 2)
+    nlp = transforms.permute_variables(nlp, perm)
+    return dataclasses.replace(nlp, structure=NLPStructure(
+        hess_bandwidth=0, jac_starts=np.minimum(starts, nv - 6),
+        jac_width=6))
 
 
 _reg_all()

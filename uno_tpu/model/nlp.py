@@ -33,6 +33,31 @@ DEFAULT_BOUND_INFINITY = 1e20
 
 
 @dataclass(frozen=True)
+class NLPStructure:
+    """Static sparsity structure declared on the model — the TPU-native
+    analogue of the symbolic information ASL gives the reference's sparse
+    solvers (AMPLModel.cpp:151-177 Hessian sparsity; MA57Solver.cpp:40-90
+    symbolic analysis).  Declares a BANDED Lagrangian Hessian and WINDOWED
+    Jacobian rows, which cover the dominant large-CUTEst structure (chained
+    sums, discretized 1-D/2-D operators, control staircases) and let the
+    solver assemble O(n) and factorize O(n*b^2) (linalg/banded_kkt.py).
+
+    hess_bandwidth: half-bandwidth b of grad^2_xx L (entries (i,j) with
+        |i-j| > b are identically zero for every (x, y)).
+    jac_starts: (m,) first column possibly touched by constraint row i; the
+        row's nonzeros must lie within [jac_starts[i], jac_starts[i]+jac_width).
+    jac_width: uniform window width (0 when m == 0).
+    jac_col_limit: columns >= this index are NOT probed during windowed
+        extraction (set by the homogenize transform to exclude analytic
+        slack columns).  None = all columns.
+    """
+    hess_bandwidth: int
+    jac_starts: Optional[np.ndarray] = None
+    jac_width: int = 0
+    jac_col_limit: Optional[int] = None
+
+
+@dataclass(frozen=True)
 class NLP:
     """A smooth NLP:  min f(x)  s.t.  c_lb <= c(x) <= c_ub,  x_lb <= x <= x_ub.
 
@@ -63,6 +88,9 @@ class NLP:
     # objective/constraint scaling factors applied by scale transform
     f_scale: float = 1.0
     c_scale: Optional[np.ndarray] = None
+    # static sparsity declaration (banded Hessian / windowed Jacobian);
+    # None = dense.  Propagated by the model transforms.
+    structure: Optional[NLPStructure] = None
 
     # ------------------------------------------------------------------ masks
     @property
@@ -151,6 +179,56 @@ class NLP:
 
         return jax.jvp(lag_grad, (x,), (v,))[1]
 
+    def lagrangian_hessian_band(self, x, y, sigma=1.0, params=None):
+        """Banded Lagrangian Hessian in lower band storage (b+1, n):
+        band[d, j] = H[j+d, j].  Extracted with ncolors = min(n, 2b+1)
+        Hessian-vector probes (strided coloring: columns j = k mod ncolors
+        share probe k; their images cannot collide within the band), i.e.
+        O(b) gradient evaluations instead of the O(n) of jax.hessian —
+        the structured analogue of ASL's sparse Sphes (AMPLModel.cpp:357-367).
+        Requires `structure`."""
+        b = self.structure.hess_bandwidth
+        n = self.n
+        ncolors = min(n, 2 * b + 1)
+        cols = np.arange(n)
+        V = jnp.asarray((cols[None, :] % ncolors) == np.arange(ncolors)[:, None],
+                        dtype=x.dtype)
+        Hv = jax.vmap(
+            lambda v: self.lagrangian_hessian_vp(x, y, v, sigma, params))(V)
+        # band[d, j] = H[j+d, j] = Hv[j % ncolors, j+d]
+        d_idx = np.arange(b + 1)[:, None]
+        j_idx = cols[None, :]
+        row = j_idx + d_idx
+        ok = row < n
+        band = Hv[jnp.asarray(j_idx % ncolors).repeat(b + 1, axis=0),
+                  jnp.asarray(np.where(ok, row, 0))]
+        return band * jnp.asarray(ok, dtype=x.dtype)
+
+    def constraint_jacobian_windows(self, x, params=None):
+        """Windowed Jacobian rows (m, w): entry [i, t] = J[i, starts_i + t].
+        Extracted with min(w, limit) strided jvp probes (columns with equal
+        color cannot share a window).  Columns >= structure.jac_col_limit
+        (analytic slack columns) are excluded from the probes.  Requires
+        `structure` with jac_starts."""
+        st = self.structure
+        p = self.params if params is None else params
+        starts = st.jac_starts
+        w = st.jac_width
+        limit = self.n if st.jac_col_limit is None else st.jac_col_limit
+        ncolors = min(limit, max(w, 1))
+        cols = np.arange(self.n)
+        probe_ok = cols < limit
+        V = jnp.asarray(((cols[None, :] % ncolors) == np.arange(ncolors)[:, None])
+                        & probe_ok[None, :], dtype=x.dtype)
+        c_fn = self.c
+        Jv = jax.vmap(lambda v: jax.jvp(lambda z: c_fn(z, p), (x,), (v,))[1])(V)
+        # J_local[i, t] = Jv[(starts_i + t) % ncolors, i]
+        tcol = (starts[:, None] + np.arange(w)[None, :])
+        ok = tcol < limit
+        J_local = Jv[jnp.asarray(np.where(ok, tcol, 0) % ncolors),
+                     jnp.asarray(np.arange(self.m))[:, None]]
+        return J_local * jnp.asarray(ok, dtype=x.dtype)
+
     def constraint_violation(self, cx, norm: str = "L1"):
         """Norm of violation of c_lb <= cx <= c_ub
         (reference Model::constraint_violation)."""
@@ -190,6 +268,7 @@ def nlp_from_functions(
     c_ub=None,
     y0=None,
     params=None,
+    structure=None,
 ) -> NLP:
     """Convenience constructor.  `f`/`c` may take (x,) or (x, params)."""
     x0 = np.asarray(x0, dtype=np.float64)
@@ -226,4 +305,5 @@ def nlp_from_functions(
     return NLP(
         name=name, n=n, m=m, f=fw, c=cw, x_lb=x_lb, x_ub=x_ub,
         c_lb=c_lb, c_ub=c_ub, x0=x0, y0=y0, params=params,
+        structure=structure,
     )

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uno_tpu.model.nlp import NLP, INF
+from uno_tpu.model.nlp import NLP, INF, NLPStructure
 
 
 def fixed_bounds_to_constraints(nlp: NLP) -> NLP:
@@ -39,6 +39,16 @@ def fixed_bounds_to_constraints(nlp: NLP) -> NLP:
     vals = x_lb[idx].copy()
     x_lb[idx] = -INF
     x_ub[idx] = INF
+    st = nlp.structure
+    if st is not None:
+        # new rows x_idx = val touch exactly one column each
+        old_starts = st.jac_starts if st.jac_starts is not None \
+            else np.zeros(0, dtype=np.int64)
+        w = max(st.jac_width, 1)
+        starts = np.concatenate([old_starts, idx]).astype(np.int64)
+        st = NLPStructure(hess_bandwidth=st.hess_bandwidth,
+                          jac_starts=np.minimum(starts, nlp.n - w),
+                          jac_width=w, jac_col_limit=st.jac_col_limit)
     return NLP(
         name=nlp.name + "->no_fixed_bounds",
         n=nlp.n, m=m0 + idx.size, f=f0, c=c_new,
@@ -49,6 +59,7 @@ def fixed_bounds_to_constraints(nlp: NLP) -> NLP:
         y0=np.concatenate([nlp.y0 if nlp.y0 is not None else np.zeros(m0), np.zeros(idx.size)]),
         params=nlp.params, n_orig=nlp.num_original_variables,
         f_scale=nlp.f_scale, c_scale=None if nlp.c_scale is None else np.concatenate([nlp.c_scale, np.ones(idx.size)]),
+        structure=st,
     )
 
 
@@ -86,6 +97,12 @@ def homogenize(nlp: NLP) -> NLP:
     # PrimalDualInteriorPointMethod.cpp:78-93); start from c(x0) clipped
     x0 = np.concatenate([nlp.x0, np.zeros(n_slacks)])
 
+    st = nlp.structure
+    if st is not None:
+        st = NLPStructure(hess_bandwidth=st.hess_bandwidth,
+                          jac_starts=st.jac_starts, jac_width=st.jac_width,
+                          jac_col_limit=nlp.n if st.jac_col_limit is None
+                          else st.jac_col_limit)
     return NLP(
         name=nlp.name + "->homogeneous",
         n=n_new, m=m, f=f_new, c=c_new,
@@ -96,6 +113,7 @@ def homogenize(nlp: NLP) -> NLP:
         n_orig=nlp.num_original_variables,
         slack_of_constraint=slack_of_constraint,
         f_scale=nlp.f_scale, c_scale=nlp.c_scale,
+        structure=st,
     )
 
 
@@ -110,6 +128,7 @@ def relax_bounds(nlp: NLP, factor: float) -> NLP:
         x0=nlp.x0, y0=nlp.y0, params=nlp.params, n_orig=nlp.num_original_variables,
         slack_of_constraint=nlp.slack_of_constraint,
         f_scale=nlp.f_scale, c_scale=nlp.c_scale,
+        structure=nlp.structure,
     )
 
 
@@ -145,6 +164,42 @@ def scale_model(nlp: NLP, threshold: float = 100.0) -> NLP:
         slack_of_constraint=nlp.slack_of_constraint,
         f_scale=s_f * nlp.f_scale,
         c_scale=s_c if nlp.c_scale is None else s_c * nlp.c_scale,
+        structure=nlp.structure,
+    )
+
+
+def permute_variables(nlp: NLP, perm) -> NLP:
+    """Reorder the variable vector: new_x[i] = old_x[perm[i]].  The TPU
+    analogue of the fill-reducing orderings the reference's sparse solvers
+    compute internally (MA57/MUMPS symbolic analysis): control families
+    declared in block layout [t..., x..., u...] become banded after
+    interleaving stages.  Objective values are invariant; `solve` callers
+    receive x in the PERMUTED order (apply inverse_permutation to recover),
+    so this is meant to be applied at model-construction time."""
+    perm = np.asarray(perm, dtype=np.int64)
+    assert perm.shape == (nlp.n,)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(nlp.n)
+    perm_j = jnp.asarray(perm)
+    inv_j = jnp.asarray(inv)
+    f0, c0 = nlp.f, nlp.c
+
+    def f_new(x, p):
+        return f0(x[inv_j], p)
+
+    def c_new(x, p):
+        return c0(x[inv_j], p)
+
+    return NLP(
+        name=nlp.name + "->permuted",
+        n=nlp.n, m=nlp.m, f=f_new, c=c_new,
+        x_lb=nlp.x_lb[perm], x_ub=nlp.x_ub[perm],
+        c_lb=nlp.c_lb, c_ub=nlp.c_ub,
+        x0=nlp.x0[perm], y0=nlp.y0, params=nlp.params,
+        n_orig=nlp.num_original_variables,
+        slack_of_constraint=nlp.slack_of_constraint,
+        f_scale=nlp.f_scale, c_scale=nlp.c_scale,
+        structure=nlp.structure,
     )
 
 

@@ -148,7 +148,10 @@ class Options:
     ldlt_backend: str = "auto"       # auto | xla | pallas | distributed
     ldlt_block_size: int = 32        # blocked LDL^T panel width
     dist_ldlt_block: int = 64        # distributed-KKT panel width (per chip)
-    kkt_formulation: str = "augmented"   # | "lifted" (condensed Cholesky)
+    # "augmented" dense LDL^T | "lifted" condensed Cholesky | "banded"
+    # structured block-tridiagonal Cholesky (requires NLP.structure) |
+    # "auto" = banded when the model declares structure, else augmented
+    kkt_formulation: str = "auto"
     # SQP driver: "fused" = single lax.while_loop state machine (jittable,
     # vmappable — solvers/sqp_fused.py); "host" = Python outer loop with
     # jitted kernels (solvers/sqp.py); "auto" = fused for the TR +

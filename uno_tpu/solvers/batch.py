@@ -119,9 +119,8 @@ def build_batch_sqp(nlp: NLP, opts: Options, params_example=None,
                                            make_initial_sqp_state)
     from uno_tpu.solvers.ipm import canonicalize_state
 
-    byrd = (opts.globalization_mechanism == "LS"
-            and opts.constraint_relaxation_strategy == "l1_relaxation")
-    if byrd:
+    from uno_tpu.api import is_byrd_family
+    if is_byrd_family(opts):
         prob, ws, step, _ = build_byrd_fused(nlp, opts)
         make_init = make_initial_byrd_state
     else:

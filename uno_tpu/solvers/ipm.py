@@ -300,11 +300,20 @@ def _update_barrier_parameter(ws, opts, mu, x, zl, zu, p, q, zp, zq, is_feas,
 
 def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options,
                   kkt_backend=None):
-    """kkt_backend: optional (factorize, solve) pair replacing the built-in
-    LDL^T — e.g. the mesh-distributed backend (parallel/dist_ldlt.py) for
-    KKT systems whose factorization should be sharded over chips."""
-    kkt_factorizer, kkt_solver = kkt_backend if kkt_backend else (None, None)
-    """Builds the jittable single-outer-iteration function state -> state."""
+    """kkt_backend: optional (factorize, solve[, matvec]) tuple replacing the
+    built-in LDL^T — e.g. the mesh-distributed backend
+    (parallel/dist_ldlt.py) for KKT systems whose factorization should be
+    sharded over chips, or the structured banded backend
+    (linalg/banded_kkt.py), whose `assemble` produces a BandedKKT pytree
+    instead of a dense matrix and whose matvec implements the exact
+    augmented operator for f64 refinement.
+    Builds the jittable single-outer-iteration function state -> state."""
+    if kkt_backend:
+        kkt_factorizer, kkt_solver = kkt_backend[0], kkt_backend[1]
+        kkt_matvec = kkt_backend[2] if len(kkt_backend) > 2 else None
+    else:
+        kkt_factorizer = kkt_solver = kkt_matvec = None
+    banded = kkt_matvec is not None  # structured-assembly mode
     n, m = ws.n, ws.m
     nu = opts.l1_constraint_violation_coefficient
     lbj, ubj = jnp.asarray(ws.lb), jnp.asarray(ws.ub)
@@ -408,21 +417,52 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options,
         # -- evaluate derivatives at current x ------------------------------
         g = prob.objective_gradient(s.x, s.params)
         c = prob.constraints(s.x, s.params)
-        J = prob.constraint_jacobian(s.x, s.params)
-        # Hessian model (reference hessian_models/: exact | identity | zero,
-        # HessianModelFactory.cpp); the option is static so this folds at trace
-        if opts.hessian_model == "identity":
-            H_lag = jnp.eye(n, dtype=s.x.dtype)
-        elif opts.hessian_model == "zero":
-            H_lag = jnp.zeros((n, n), dtype=s.x.dtype)
+        if banded:
+            # structured path: windowed Jacobian extraction (O(w) jvp probes)
+            # + banded Hessian extraction (O(b) hvp probes) — the dense J is
+            # still materialized (O(m*w) scatter) for the rhs/LS/residual
+            # code below, but never refactorized densely
+            from uno_tpu.linalg.banded_kkt import dense_from_windows
+            bst = prob.structure
+            slack_cols = prob.slack_of_constraint \
+                if prob.slack_of_constraint is not None \
+                else np.full(m, -1, dtype=np.int64)
+            n0_b = n - int(np.sum(slack_cols >= 0))
+            if m:
+                J_local = prob.constraint_jacobian_windows(s.x, s.params)
+                J = dense_from_windows(J_local, bst.jac_starts, n, slack_cols)
+            else:
+                J_local = jnp.zeros((0, max(bst.jac_width, 1)), dtype=s.x.dtype)
+                J = prob.constraint_jacobian(s.x, s.params)
+            bh = bst.hess_bandwidth
+            if opts.hessian_model == "identity":
+                H_band = jnp.zeros((bh + 1, n0_b), dtype=s.x.dtype) \
+                    .at[0, :].set(1.0)
+                hess_slack_diag = 1.0
+            elif opts.hessian_model == "zero":
+                H_band = jnp.zeros((bh + 1, n0_b), dtype=s.x.dtype)
+                hess_slack_diag = 0.0
+            else:
+                H_band = prob.lagrangian_hessian_band(
+                    s.x, y_a, sigma, s.params)[:, :n0_b]
+                hess_slack_diag = 0.0
         else:
-            H_lag = prob.lagrangian_hessian(s.x, y_a, sigma, s.params)
+            J = prob.constraint_jacobian(s.x, s.params)
+            # Hessian model (reference hessian_models/: exact | identity |
+            # zero, HessianModelFactory.cpp); static, folds at trace
+            if opts.hessian_model == "identity":
+                H_lag = jnp.eye(n, dtype=s.x.dtype)
+            elif opts.hessian_model == "zero":
+                H_lag = jnp.zeros((n, n), dtype=s.x.dtype)
+            else:
+                H_lag = prob.lagrangian_hessian(s.x, y_a, sigma, s.params)
 
         # proximal term (feasibility phase only): sqrt(mu)*diag(scaling^2)
         prox_coef = jnp.sqrt(mu)
         prox_diag = jnp.where(is_feas, prox_coef * prox_scaling(s.x_ref), 0.0)
         Sigma = bar.barrier_hessian_diag(s.x, zl_a, zu_a, lbj, ubj, hlb, hub)
-        H = H_lag + jnp.diag(prox_diag + Sigma)
+        if not banded:
+            H = H_lag + jnp.diag(prox_diag + Sigma)
 
         # barrier + proximal gradient
         g_bar = sigma * g \
@@ -446,12 +486,24 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options,
             rhs = rhs_x
 
         # -- assemble + inertia-corrected factorization ---------------------
-        def assemble(delta, eps):
-            Hd = H + delta * jnp.eye(n, dtype=H.dtype)
-            if m == 0:
-                return Hd
-            dual_block = -jnp.diag(D_e + eps)
-            return jnp.block([[Hd, J.T], [J, dual_block]])
+        if banded:
+            from uno_tpu.linalg.banded_kkt import BandedKKT
+
+            def assemble(delta, eps):
+                sd = prox_diag + Sigma
+                return BandedKKT(
+                    H_band=H_band,
+                    diag0=sd[:n0_b] + delta,
+                    sig_s=sd[n0_b:] + hess_slack_diag + delta,
+                    J_local=J_local,
+                    C=(D_e if m else jnp.zeros((0,), dtype=s.x.dtype)) + eps)
+        else:
+            def assemble(delta, eps):
+                Hd = H + delta * jnp.eye(n, dtype=H.dtype)
+                if m == 0:
+                    return Hd
+                dual_block = -jnp.diag(D_e + eps)
+                return jnp.block([[Hd, J.T], [J, dual_block]])
 
         dual_reg_param = jnp.power(mu, opts.barrier_regularization_exponent)
         reg = regularize_and_factor(assemble, n, m, dual_reg_param,
@@ -468,10 +520,21 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options,
             sol = _solve(reg.fac, rhs.astype(jnp.float32)).astype(rhs.dtype)
             K64 = assemble(reg.delta, reg.eps)
             for _ in range(opts.kkt_refinement_steps):
-                resid = rhs - jnp.sum(K64 * sol[None, :], axis=1)
+                if banded:
+                    resid = rhs - kkt_matvec(K64, sol)
+                else:
+                    resid = rhs - jnp.sum(K64 * sol[None, :], axis=1)
                 sol = sol + _solve(reg.fac, resid.astype(jnp.float32)).astype(rhs.dtype)
         else:
             sol = _solve(reg.fac, rhs)
+            if banded:
+                # the lifted tau leaves O(tau*|w|) error on equality rows;
+                # one f64 refinement against the exact augmented operator
+                # removes it (same role as the lifted backend's refinement)
+                K64 = assemble(reg.delta, reg.eps)
+                for _ in range(opts.kkt_refinement_steps):
+                    resid = rhs - kkt_matvec(K64, sol)
+                    sol = sol + _solve(reg.fac, resid)
         dx = sol[:n]
         w = sol[n:] if m else jnp.zeros((0,), dtype=sol.dtype)
         dy = -w
@@ -1008,6 +1071,21 @@ def build_ipm(nlp: NLP, opts: Options, mesh=None):
         from uno_tpu.linalg.condensed import make_lifted_kkt_backend
         kkt_backend = make_lifted_kkt_backend(
             prob.n, ws.m, tau=opts.lifted_kkt_relaxation)
+    elif opts.kkt_formulation == "banded" or (
+            opts.kkt_formulation == "auto" and prob.structure is not None):
+        if prob.structure is None:
+            raise ValueError("kkt_formulation='banded' requires the model "
+                             "to declare an NLPStructure")
+        from uno_tpu.linalg.banded_kkt import make_banded_kkt_backend
+        slack_cols = prob.slack_of_constraint \
+            if prob.slack_of_constraint is not None \
+            else np.full(ws.m, -1, dtype=np.int64)
+        n0 = prob.n - int(np.sum(slack_cols >= 0))
+        kkt_backend = make_banded_kkt_backend(
+            prob.n, n0, ws.m,
+            prob.structure.jac_starts if ws.m else np.zeros(0, dtype=np.int64),
+            slack_cols, prob.structure.hess_bandwidth,
+            prob.structure.jac_width, tau=opts.lifted_kkt_relaxation)
     step = make_ipm_step(prob, ws, opts, kkt_backend=kkt_backend)
 
     def run(state):

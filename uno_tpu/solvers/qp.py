@@ -67,7 +67,8 @@ class QPStructure:
 
 
 def build_qp_solver(struct: QPStructure, opts: Options,
-                    tol: float = 1e-10, max_iterations: int = 150):
+                    tol: float = 1e-10, max_iterations: int = 150,
+                    purify: bool = True):
     """Returns a jittable solve(g, H, J, rl, ru, dl, du) -> QPResult."""
     n, m = struct.n, struct.m
     has_dl = jnp.asarray(struct.has_dl)
@@ -226,6 +227,73 @@ def build_qp_solver(struct: QPStructure, opts: Options,
         d, s, y, zl, zu, wl, wu, mu, _, it, status = lax.while_loop(cond, body, init)
 
         err = kkt_error(d, s, y, zl, zu, wl, wu)
+
+        # ---- dual purification (BQPD-parity, BQPDSolver.cpp:310-348) -------
+        # An interior-point QP leaves "dual dust": inactive constraints carry
+        # duals ~sqrt(mu_final) instead of exact zeros, and active duals are
+        # off by the same order.  BQPD extracts exact multipliers from the
+        # active set; we do the same — identify the eps-active set at the
+        # converged d and recompute the multipliers by (ridge-regularized)
+        # least squares on the active gradients, zeroing the rest.  Accepted
+        # only when it does not worsen the stationarity residual.
+        if purify:
+            eps_a = 1e-6
+            act_lo = has_dl & ((d - dl) <= eps_a * (1.0 + jnp.abs(dl)))
+            act_up = has_du & ((du - d) <= eps_a * (1.0 + jnp.abs(du)))
+            rvec = g + H @ d
+            if m:
+                r_rows = J @ d
+                row_lo = has_rl & ((r_rows - rl) <= eps_a * (1.0 + jnp.abs(rl)))
+                row_up = has_ru & ((ru - r_rows) <= eps_a * (1.0 + jnp.abs(ru)))
+                act_row = is_eq | row_lo | row_up
+                A = jnp.concatenate([J.T * act_row[None, :],
+                                     jnp.diag(jnp.where(act_lo, 1.0, 0.0)),
+                                     jnp.diag(jnp.where(act_up, 1.0, 0.0))],
+                                    axis=1)
+            else:
+                A = jnp.concatenate([jnp.diag(jnp.where(act_lo, 1.0, 0.0)),
+                                     jnp.diag(jnp.where(act_up, 1.0, 0.0))],
+                                    axis=1)
+            lam = 1e-10 * (1.0 + jnp.max(jnp.abs(A)))
+            AtA = A.T @ A + lam * jnp.eye(A.shape[1])
+            w = jnp.linalg.solve(AtA, A.T @ rvec)
+            if m:
+                y_p = jnp.where(act_row, w[:m], 0.0)
+                # one-sided active inequality rows have signed multipliers
+                y_p = jnp.where(is_eq, y_p,
+                                jnp.where(row_lo & ~row_up,
+                                          jnp.maximum(y_p, 0.0),
+                                          jnp.where(row_up & ~row_lo,
+                                                    jnp.minimum(y_p, 0.0),
+                                                    y_p)))
+                zl_p = jnp.maximum(jnp.where(act_lo, w[m:m + n], 0.0), 0.0)
+                zu_p = jnp.minimum(jnp.where(act_up, w[m + n:], 0.0), 0.0)
+            else:
+                y_p = y
+                zl_p = jnp.maximum(jnp.where(act_lo, w[:n], 0.0), 0.0)
+                zu_p = jnp.minimum(jnp.where(act_up, w[n:], 0.0), 0.0)
+            # active-bound duals absorb the solver's own O(err) residual in
+            # the fit; values below the solve's resolution are noise, snap
+            # them to the exact zeros an active-set solver would return
+            noise = 100.0 * err
+            if m:
+                y_p = jnp.where(jnp.abs(y_p) <= noise, 0.0, y_p)
+            zl_p = jnp.where(jnp.abs(zl_p) <= noise, 0.0, zl_p)
+            zu_p = jnp.where(jnp.abs(zu_p) <= noise, 0.0, zu_p)
+            stat_old = jnp.max(jnp.abs(rvec - (J.T @ y if m else 0.0)
+                                       - zl - zu), initial=0.0)
+            stat_new = jnp.max(jnp.abs(rvec - (J.T @ y_p if m else 0.0)
+                                       - zl_p - zu_p), initial=0.0)
+            # the IP's dust duals balance its own O(err) primal residual, so
+            # exactly-complementary duals may cost O(err * |J|) stationarity;
+            # accept within 100x of the solver's exit error — the purified
+            # duals are then BQPD-like (exact zeros off the active set) at
+            # no meaningful loss
+            better = stat_new <= jnp.maximum(stat_old, 100.0 * err + tol)
+            y = jnp.where(better, y_p, y) if m else y
+            zl = jnp.where(better, zl_p, zl)
+            zu = jnp.where(better, zu_p, zu)
+
         primal_res = jnp.max(jnp.abs(J @ d - s), initial=0.0) if m else jnp.asarray(0.0)
         # iteration cap without tight convergence: accept at a loose tolerance
         # (convexified nonconvex QPs converge linearly in the tail); declare

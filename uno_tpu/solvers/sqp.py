@@ -550,6 +550,10 @@ class SQPWorkspace:
         viol = np.maximum(self.cl - c, 0.0) + np.maximum(c - self.cu, 0.0)
         return _norm(viol, norm_kind)
 
+    def row_violation(self, c):
+        """Per-row bound violation (no norm)."""
+        return np.maximum(self.cl - c, 0.0) + np.maximum(c - self.cu, 0.0)
+
     def progress_of(self, f, c):
         return Progress(self.violation(c, self.opts.progress_norm), float(f), 0.0)
 
@@ -812,12 +816,19 @@ class L1RelaxationSQP:
                                  self.nu, radius)
         return res
 
-    def _linearized_residual(self, it, dx, dev):
+    def _linearized_residual(self, it, dx, dev, kerr=0.0):
         # linearized violation of the MODEL constraints only — elastics do
         # not enter (reference: evaluations.constraints + jacobian *
-        # direction.primals, l1Relaxation.cpp:114-115)
+        # direction.primals, l1Relaxation.cpp:114-115).  Per-row violations
+        # at or below the IP-QP's own primal residual (kerr) are zeroed:
+        # BQPD returns exactly-feasible subproblem solutions, so the
+        # reference's steering gates compare true zeros (same primal
+        # purification as the fused driver, sqp_fused.py lin_res_of)
         del dev
-        return self.ws.violation(it.c + (it.J @ dx if self.ws.m else 0.0), "L1")
+        c_lin = it.c + (it.J @ dx if self.ws.m else 0.0)
+        viol = self.ws.row_violation(c_lin)
+        viol = np.where(viol <= 10.0 * kerr, 0.0, viol)
+        return float(np.sum(viol))
 
     def compute_direction(self, it: SQPIterate, radius, H_unused) -> SQPDirection:
         o = self.opts
@@ -827,13 +838,15 @@ class L1RelaxationSQP:
         dx, dev = d[: ws.n], d[ws.n:]
 
         if self.rho > 0 and not o.l1_relaxation_fixed_parameter:
-            lin_res = self._linearized_residual(it, dx, dev)
+            lin_res = self._linearized_residual(it, dx, dev,
+                                                 float(res.kkt_error))
             if lin_res > o.tolerance:
                 current_rho = self.rho
                 # stage c: ideal decrease (rho = 0)
                 res_f = self._solve_l1_qp(it, radius, 0.0)
                 d_f = np.asarray(res_f.d)
-                lowest = self._linearized_residual(it, d_f[: ws.n], d_f[ws.n:])
+                lowest = self._linearized_residual(it, d_f[: ws.n], d_f[ws.n:],
+                                                   float(res_f.kkt_error))
                 # the feasibility QP's multipliers become the iterate's
                 # feasibility multipliers (the reference swaps them into
                 # feasibility_multipliers, l1Relaxation.cpp:130-131) — they
@@ -846,12 +859,13 @@ class L1RelaxationSQP:
                 y_trial = np.asarray(res_f.y)
                 zl_t = np.asarray(res_f.zl)[: ws.n]
                 zu_t = np.asarray(res_f.zu)[: ws.n]
-                # NOTE: the reference threshold (1e-10) assumes an active-set
-                # QP solver returning exact zero multipliers; the IPM QP
-                # leaves dual dust up to ~sqrt(qp_tol) (z*slack ~ mu_final
-                # with slack ~ sqrt(mu)), so the gate sits at 1e-3 — well
-                # below genuine l1 duals, which live at the +-nu bound
-                dust = max(o.l1_small_duals_threshold, 1e-3)
+                # reference threshold (DefaultOptions.cpp:157); the QP
+                # kernel's dual purification (qp.py) returns exact zeros on
+                # inactive constraints, so no dust floor is needed
+                # error-proportional gate (see fused driver): IP-QP
+                # duals are reliable only to O(kkt_error)
+                dust = max(o.l1_small_duals_threshold,
+                           1e3 * float(res_f.kkt_error))
                 nontrivial = np.max(np.abs(y_trial), initial=0.0) > dust \
                     or np.max(np.abs(zl_t + zu_t), initial=0.0) > dust
                 if nontrivial:
@@ -864,7 +878,8 @@ class L1RelaxationSQP:
                     res = self._solve_l1_qp(it, radius, self.rho)
                     d = np.asarray(res.d)
                     dx, dev = d[: ws.n], d[ws.n:]
-                    lin_res = self._linearized_residual(it, dx, dev)
+                    lin_res = self._linearized_residual(it, dx, dev,
+                                                        float(res.kkt_error))
                 # stage d: sufficient linearized decrease
                 h_cur = self.ws.violation(it.c, "L1")
                 for _ in range(60):
@@ -880,14 +895,22 @@ class L1RelaxationSQP:
                     res = self._solve_l1_qp(it, radius, self.rho)
                     d = np.asarray(res.d)
                     dx, dev = d[: ws.n], d[ws.n:]
-                    lin_res = self._linearized_residual(it, dx, dev)
-                # stage e: descent direction for the l1 merit function
+                    lin_res = self._linearized_residual(it, dx, dev,
+                                                        float(res.kkt_error))
+                # stage e: descent direction for the l1 merit function.
+                # Objective purification: IP-QP objectives are reliable only
+                # to O(kkt_error); snap dust to 0 so sign noise cannot flip
+                # the descent test (same as the fused driver)
                 pf = self.ws.violation(it.c, o.residual_norm)
-                lowest_obj = pf - float(res_f.objective)
+                def _snap(v, kerr):
+                    return 0.0 if abs(v) <= 100.0 * kerr * max(1.0, pf) else v
+                lowest_obj = _snap(pf - float(res_f.objective),
+                                   float(res_f.kkt_error))
                 for _ in range(60):
                     if self.rho <= 0:
                         break
-                    pred = pf - float(res.objective)
+                    pred = _snap(pf - float(res.objective),
+                                 float(res.kkt_error))
                     if pred >= o.l1_relaxation_epsilon2 * lowest_obj:
                         break
                     self.rho /= o.l1_relaxation_decrease_factor

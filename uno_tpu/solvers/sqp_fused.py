@@ -20,9 +20,11 @@ accepted steps (the reference's outer iterations); `attempts` bounds the
 loop.
 
 QP subproblems use the convexifying interior-point kernel (solvers/qp.py)
-— the BQPD replacement (documented deviation: local steps of nonconvex QPs
-may differ).  byrd (l1 relaxation steering + line search) stays on the host
-driver (solvers/sqp.py); `Options.sqp_driver` selects between them.
+with BQPD-parity dual purification — the BQPD replacement (documented
+deviation: local steps of nonconvex QPs may differ).  byrd (l1 relaxation
+steering + line search) is ALSO fused here (`make_byrd_step` /
+`build_byrd_fused`, routed by default from api.py); the host drivers in
+solvers/sqp.py remain available via `Options.sqp_driver="host"`.
 """
 
 from __future__ import annotations
@@ -721,9 +723,10 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
     eps2 = opts.l1_relaxation_epsilon2
     small_thr = opts.l1_relaxation_residual_small_threshold
     dec = opts.l1_relaxation_decrease_factor
-    # IP-QP dual-dust gate (documented BQPD-replacement deviation; the host
-    # driver uses the same 1e-3 floor, sqp.py L1RelaxationSQP)
-    dust = max(opts.l1_small_duals_threshold, 1e-3)
+    # reference threshold (DefaultOptions.cpp:157); the QP kernel's dual
+    # purification (qp.py, BQPD-parity multiplier extraction) removes the
+    # IP dual dust that used to require a 1e-3 floor here
+    dust = opts.l1_small_duals_threshold
     MAXD = 60  # stage-d/e decrease caps (host driver bound)
 
     # LS trip bound: alpha = ratio^k until < min_step
@@ -761,6 +764,12 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
             [bc_f, el_compl, con_compl(c_relaxed, s.y_f)]
             if m else [bc_f, el_compl]), rn)
         fssc, fcsc = scalings(s.y_f, s.zl_f, s.zu_f)
+        # intentional parity bookkeeping (advisor round-2): the reference
+        # never applies the first-order test to the raw initial iterate —
+        # Uno.cpp:61-78 checks termination only after compute_next_iterate —
+        # so a KKT x0 costs one outer iteration there too; testing at
+        # iteration 0 with uninitialized duals would also fire spuriously
+        # on near-stationary starts (hs025-class)
         tested = s.iteration > 0
 
         def kkt_ok(t):
@@ -820,8 +829,20 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
             H_q = jnp.zeros((n + n_el, n + n_el)).at[:n, :n].set(H)
             return solve_qp_rel(g_q, H_q, J_q, rl, ru, dl_q, du_q)
 
-        def lin_res_of(d_full):
-            return violation(c + (_mv(J, d_full[:n]) if m else 0.0), "L1")
+        def lin_res_of(d_full, kerr):
+            """Linearized l1 infeasibility of the step, with per-row
+            violations at or below the QP's own primal residual zeroed —
+            BQPD returns exactly-feasible subproblem solutions (active-set
+            on linear constraints), so the reference's steering gates
+            (l1Relaxation.cpp:117-118) compare true zeros; the IP-QP leaves
+            O(kkt_error) primal dust per row that would falsely engage
+            steering at feasible points (the primal analogue of the dual
+            purification in qp.py)."""
+            cl_lin = c + (_mv(J, d_full[:n]) if m else 0.0)
+            viol = jnp.where(has_cl, jnp.maximum(cl - cl_lin, 0.0), 0.0) + \
+                jnp.where(has_cu, jnp.maximum(cl_lin - cu, 0.0), 0.0)
+            viol = jnp.where(viol <= 10.0 * kerr, 0.0, viol)
+            return vector_norm(viol, "L1")
 
         zvec = jnp.zeros((n + n_el,))
         st0 = dict(
@@ -833,6 +854,7 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
             y_f=s.y_f, zl_f=s.zl_f, zu_f=s.zu_f, zl_el_f=s.zl_el,
             have_f=jnp.asarray(False),
             cd=jnp.asarray(0), ce=jnp.asarray(0),
+            d_done=jnp.asarray(False),
             nqp=jnp.asarray(0), done=jnp.asarray(False))
 
         def steer_cond(t):
@@ -842,7 +864,7 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
             stage = t["stage"]
             r_solve = jnp.where(stage == 1, 0.0, t["rho"])
             res = solve_at(r_solve)
-            lin = lin_res_of(res.d)
+            lin = lin_res_of(res.d, res.kkt_error)
             out = dict(t)
             out["nqp"] = t["nqp"] + 1
 
@@ -863,8 +885,15 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
             # stage 1: record feasibility result (duals feed the FJ test,
             # l1Relaxation.cpp:130-131), aggressive cut (stage f)
             zl_t, zu_t = res.zl[:n], res.zu[:n]
-            nontrivial = (jnp.max(jnp.abs(res.y), initial=0.0) > dust) | \
-                (jnp.max(jnp.abs(zl_t + zu_t), initial=0.0) > dust)
+            # error-proportional trivial-duals gate: the reference compares
+            # BQPD's exact multipliers against 1e-10
+            # (l1Relaxation.cpp:190); the IP-QP's duals are only reliable
+            # to O(kkt_error) (active-bound duals absorb the solver's own
+            # residual in the purification fit), so the gate scales with
+            # the solve's exit error
+            dust_k = jnp.maximum(dust, 1e3 * res.kkt_error)
+            nontrivial = (jnp.max(jnp.abs(res.y), initial=0.0) > dust_k) | \
+                (jnp.max(jnp.abs(zl_t + zu_t), initial=0.0) > dust_k)
             grad_f = -(_mtv(J, res.y) if m else 0.0) - zl_t - zu_t
             err = jnp.sum(jnp.abs(grad_f))
             bct = jnp.where(has_xl & (zl_t > 0), zl_t * (x - jnp.where(has_xl, xl, 0.0)), 0.0) \
@@ -876,29 +905,55 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
                                 t["rho"])
             out["rho"] = jnp.where(is1, rho_cut, out["rho"])
             out["lowest"] = jnp.where(is1, lin, t["lowest"])
-            out["lowest_obj"] = jnp.where(is1, pf - res.objective, t["lowest_obj"])
+            # objective purification: the IP-QP's objective value is only
+            # reliable to O(kkt_error); predicted-decrease dust with the
+            # wrong sign would flip the stage-e descent test forever
+            # (reference compares exact BQPD objectives)
+            lo_obj = pf - res.objective
+            lo_obj = jnp.where(jnp.abs(lo_obj)
+                               <= 100.0 * res.kkt_error * jnp.maximum(1.0, pf),
+                               0.0, lo_obj)
+            out["lowest_obj"] = jnp.where(is1, lo_obj, t["lowest_obj"])
             for k, v in (("y_f", res.y), ("zl_f", zl_t), ("zu_f", zu_t),
                          ("zl_el_f", res.zl[n:])):
                 out[k] = jnp.where(is1, v, t[k])
             out["have_f"] = t["have_f"] | is1
             out["stage"] = jnp.where(is1, 2, out["stage"])
 
-            # stage 2 (after refresh): stage-d then stage-e checks
+            # stage 2 (after refresh): stage-d to exhaustion, THEN stage-e
+            # without re-checking d — matching the host driver and the
+            # reference's two sequential while-loops
+            # (l1Relaxation.cpp:217-263; advisor round-2 finding).  Once
+            # stage d passes (or caps out) it is latched done; subsequent
+            # passes only run the stage-e check.  Accepted deviation: when
+            # stage f leaves rho unchanged, the reference skips the
+            # re-solve (l1Relaxation.cpp:137-142) while this loop re-solves
+            # at the same rho — the deterministic kernel returns the
+            # identical direction, costing one extra QP on that edge.
             h_l1 = violation(c, "L1")
             d_ok = jnp.where(out["lowest"] <= small_thr,
                              out["lin"] <= small_thr,
                              (h_l1 - out["lin"])
                              >= eps1 * (h_l1 - out["lowest"]))
             pred = pf - out["qp_obj"]
+            # same objective purification as lowest_obj above
+            pred = jnp.where(jnp.abs(pred)
+                             <= 100.0 * res.kkt_error * jnp.maximum(1.0, pf),
+                             0.0, pred)
             e_ok = pred >= eps2 * out["lowest_obj"]
             rho_pos = out["rho"] > 0
-            dec_d = (stage == 2) & ~d_ok & (t["cd"] < MAXD) & rho_pos
-            dec_e = (stage == 2) & d_ok & ~e_ok & (t["ce"] < MAXD) & rho_pos
+            in2 = stage == 2
+            d_phase = in2 & ~t["d_done"]
+            dec_d = d_phase & ~d_ok & (t["cd"] < MAXD) & rho_pos
+            # d latches done when it passes or can no longer decrease
+            out["d_done"] = t["d_done"] | (d_phase & ~dec_d)
+            e_phase = in2 & out["d_done"]
+            dec_e = e_phase & ~e_ok & (t["ce"] < MAXD) & rho_pos
             out["cd"] = t["cd"] + jnp.where(dec_d, 1, 0)
             out["ce"] = t["ce"] + jnp.where(dec_e, 1, 0)
             out["rho"] = jnp.where(dec_d | dec_e, out["rho"] / dec,
                                    out["rho"])
-            out["done"] = jnp.where(stage == 2, ~(dec_d | dec_e), out["done"])
+            out["done"] = jnp.where(in2, ~(dec_d | dec_e), out["done"])
             return out
 
         st = lax.while_loop(steer_cond, steer_body, st0)
