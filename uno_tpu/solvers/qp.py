@@ -88,11 +88,20 @@ def build_qp_solver(struct: QPStructure, opts: Options,
                             primal_regularization_slow_increase_factor=2.0,
                             primal_regularization_fast_increase_factor=10.0)
 
-    def solve(g, H, J, rl, ru, dl, du, warm_d=None, warm_y=None):
+    def solve(g, H, J, rl, ru, dl, du, warm_d=None, warm_y=None,
+              H_purify=None):
         """warm_d/warm_y: primal/dual warmstart (the IP analogue of BQPD's
         active-set reuse, BQPDSolver.cpp:246-258): start from the previous
         QP's solution pushed interior with a small initial barrier, so TR
-        re-solves at the same iterate converge in a few centering steps."""
+        re-solves at the same iterate converge in a few centering steps.
+
+        H_purify: optional UNREGULARIZED Hessian for the dual-purification
+        fit.  When the caller pre-convexified H (+delta*I), the solved QP's
+        duals absorb O(delta*|d|) — real duals of the regularized problem,
+        but NOT of the caller's problem.  BQPD solves the unregularized QP
+        exactly, so parity requires extracting multipliers against the
+        original Hessian (e.g. zero duals for a feasibility LP whose
+        linearized constraints are satisfiable)."""
         dl = jnp.where(has_dl, dl, -HUGE)
         du = jnp.where(has_du, du, HUGE)
         # slack bounds: inequality rows only; equality rows pin s = rl
@@ -240,7 +249,7 @@ def build_qp_solver(struct: QPStructure, opts: Options,
             eps_a = 1e-6
             act_lo = has_dl & ((d - dl) <= eps_a * (1.0 + jnp.abs(dl)))
             act_up = has_du & ((du - d) <= eps_a * (1.0 + jnp.abs(du)))
-            rvec = g + H @ d
+            rvec = g + (H if H_purify is None else H_purify) @ d
             if m:
                 r_rows = J @ d
                 row_lo = has_rl & ((r_rows - rl) <= eps_a * (1.0 + jnp.abs(rl)))
@@ -274,8 +283,15 @@ def build_qp_solver(struct: QPStructure, opts: Options,
                 zu_p = jnp.minimum(jnp.where(act_up, w[n:], 0.0), 0.0)
             # active-bound duals absorb the solver's own O(err) residual in
             # the fit; values below the solve's resolution are noise, snap
-            # them to the exact zeros an active-set solver would return
-            noise = 100.0 * err
+            # them to the exact zeros an active-set solver would return.
+            # The fit residual itself is a second noise floor: when the fit
+            # is inconsistent (d solves a regularized QP, H_purify is the
+            # unregularized Hessian), least squares smears the residual
+            # into small spurious multipliers that exact stationarity on
+            # free variables (BQPD's extraction) would force to zero.
+            fit_res = jnp.max(jnp.abs(rvec - (J.T @ y_p if m else 0.0)
+                                      - zl_p - zu_p), initial=0.0)
+            noise = jnp.maximum(100.0 * err, fit_res)
             if m:
                 y_p = jnp.where(jnp.abs(y_p) <= noise, 0.0, y_p)
             zl_p = jnp.where(jnp.abs(zl_p) <= noise, 0.0, zl_p)

@@ -518,8 +518,9 @@ class SQPWorkspace:
             if int(res.status) == 0 else None
         return self._strip_tr_duals(res, x, radius)
 
-    def relaxed_qp(self, x, ev, c, g, J, H, rho, nu, radius):
-        """l1RelaxedProblem QP: variables (d, de)."""
+    def relaxed_qp(self, x, ev, c, g, J, H, rho, nu, radius, H_orig=None):
+        """l1RelaxedProblem QP: variables (d, de).  H_orig: unregularized
+        Hessian for dual purification (qp.py H_purify, BQPD parity)."""
         c_rel = c + self.E @ ev
         rl = self.cl - c_rel
         ru = self.cu - c_rel
@@ -533,13 +534,19 @@ class SQPWorkspace:
         dl = np.concatenate([np.maximum(-radius, self.xl - x), -ev])
         du = np.concatenate([np.minimum(radius, self.xu - x),
                              np.full(self.n_el, LARGE_BOUND)])
+        if H_orig is None:
+            Hp_q = None
+        else:
+            Hp_q = np.zeros_like(H_q)
+            Hp_q[: self.n, : self.n] = np.asarray(H_orig)
+            Hp_q = jnp.asarray(Hp_q)
         w = self._warm_rel
         same_x = w is not None and np.array_equal(w[0], np.asarray(x))
         res = self.solve_qp_rel(
             jnp.asarray(g_q), jnp.asarray(H_q), jnp.asarray(J_q),
             jnp.asarray(rl), jnp.asarray(ru), jnp.asarray(dl), jnp.asarray(du),
             warm_d=w[1] if same_x else None,
-            warm_y=w[2] if same_x else None)
+            warm_y=w[2] if same_x else None, H_purify=Hp_q)
         self._warm_rel = (np.asarray(x), np.asarray(res.d), np.asarray(res.y)) \
             if int(res.status) == 0 else None
         return self._strip_tr_duals(res, x, radius, n_extra=self.n_el)
@@ -809,11 +816,12 @@ class L1RelaxationSQP:
         return self.rho
 
     def _solve_l1_qp(self, it, radius, rho):
-        H = np.asarray(self.ws.hessian(it.x, it.y, rho))
+        H0 = np.asarray(self.ws.hessian(it.x, it.y, rho))
+        H = H0
         if self.opts.regularization_strategy == "primal":
-            H, _ = primal_regularize(H, self.opts)
+            H, _ = primal_regularize(H0, self.opts)
         res = self.ws.relaxed_qp(it.x, it.ev, it.c, it.g, it.J, H, rho,
-                                 self.nu, radius)
+                                 self.nu, radius, H_orig=H0)
         return res
 
     def _linearized_residual(self, it, dx, dev, kerr=0.0):
@@ -868,7 +876,8 @@ class L1RelaxationSQP:
                            1e3 * float(res_f.kkt_error))
                 nontrivial = np.max(np.abs(y_trial), initial=0.0) > dust \
                     or np.max(np.abs(zl_t + zu_t), initial=0.0) > dust
-                if nontrivial:
+                # gate on non-achievability (see fused driver rationale)
+                if nontrivial and lowest > o.l1_relaxation_residual_small_threshold:
                     err = self._infeasible_dual_error(it, y_trial, zl_t, zu_t,
                                                       np.asarray(res_f.zl)[ws.n:])
                     pf = it.progress.infeasibility if it.progress else 1.0

@@ -822,12 +822,15 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
         J_q = jnp.concatenate([J, E], axis=1) if m else jnp.zeros((0, n + n_el))
 
         def solve_at(r):
-            H = hessian(x, s.y, r, params)
-            if use_primal_reg:
-                H = primal_reg(H)
+            H0 = hessian(x, s.y, r, params)
+            H = primal_reg(H0) if use_primal_reg else H0
             g_q = jnp.concatenate([r * g, jnp.full((n_el,), nu)])
             H_q = jnp.zeros((n + n_el, n + n_el)).at[:n, :n].set(H)
-            return solve_qp_rel(g_q, H_q, J_q, rl, ru, dl_q, du_q)
+            # purification extracts multipliers against the UNREGULARIZED
+            # Hessian (BQPD parity; see qp.py H_purify)
+            Hp_q = jnp.zeros((n + n_el, n + n_el)).at[:n, :n].set(H0)
+            return solve_qp_rel(g_q, H_q, J_q, rl, ru, dl_q, du_q,
+                                H_purify=Hp_q)
 
         def lin_res_of(d_full, kerr):
             """Linearized l1 infeasibility of the step, with per-row
@@ -901,7 +904,16 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
             err = err + jnp.sum(jnp.abs(bct)) \
                 + jnp.sum(jnp.abs(con_compl(c, res.y)))
             scaled = err / jnp.maximum(1.0, pf)
-            rho_cut = jnp.where(nontrivial, jnp.minimum(t["rho"], scaled * scaled),
+            # the aggressive cut detects proximity to an INFEASIBLE
+            # stationary point; when the feasibility QP fully restores
+            # linearized feasibility (lin <= small_thr) the point is not
+            # near one, and BQPD would return the exact-zero multipliers of
+            # the degenerate vertex solution (our IP returns the interior
+            # solution of the same degenerate QP, whose fitted multipliers
+            # are tiny but nonzero) — gate the cut on non-achievability,
+            # reproducing the reference's effective behavior
+            rho_cut = jnp.where(nontrivial & (lin > small_thr),
+                                jnp.minimum(t["rho"], scaled * scaled),
                                 t["rho"])
             out["rho"] = jnp.where(is1, rho_cut, out["rho"])
             out["lowest"] = jnp.where(is1, lin, t["lowest"])
@@ -1041,8 +1053,14 @@ def make_byrd_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
         status = jnp.where((status == RUNNING) & small_opt, OPTIMAL, status)
         status = jnp.where((status == RUNNING) & small_almost, ALMOST_OPTIMAL,
                            status)
-        status = jnp.where((status == RUNNING) & (qp_bad | (ls_failed
-                           & ~small_opt & ~small_almost)),
+        # solver breakdown (QP error / exhausted LS) AT a loose-KKT point is
+        # the loose-tolerance exit, not an algorithmic error — the analogue
+        # of the reference's "solved to acceptable level" path when the
+        # subproblem solver cannot refine a degenerate vertex further
+        breakdown = qp_bad | (ls_failed & ~small_opt & ~small_almost)
+        status = jnp.where((status == RUNNING) & breakdown & kkt_ok(loose),
+                           ALMOST_OPTIMAL, status)
+        status = jnp.where((status == RUNNING) & breakdown & ~kkt_ok(loose),
                            ALGORITHMIC_ERROR, status)
 
         # ---- commit ---------------------------------------------------------
