@@ -433,3 +433,5 @@ def scalable_quadratic(n: int, m: int, seed: int = 0) -> NLP:
 from uno_tpu.model import library_hs  # noqa: E402,F401  (isort: skip)
 from uno_tpu.model import library_hs2  # noqa: E402,F401  (isort: skip)
 from uno_tpu.model import library_cutest  # noqa: E402,F401  (isort: skip)
+from uno_tpu.model import library_mgh  # noqa: E402,F401  (isort: skip)
+from uno_tpu.model import library_nl  # noqa: E402,F401  (isort: skip)
