@@ -1,25 +1,33 @@
-"""Benchmark: batched IPM solve throughput on one TPU chip.
+"""Benchmark: batched IPM solve throughput on one TPU chip (+ size curve,
+fused-SQP presets, KKT factorization latency, banded-vs-dense).
 
 Prints ONE JSON line:
   {"metric": "batched_ipm_solves_per_sec", "value": N, "unit": "solves/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "detail": {...}}
 
-Workload: B independent instances of an 8-variable, 2-constraint nonconvex
-NLP family (random quadratic objectives, one linear + one quadratic
-constraint, variable bounds), solved to the ipopt preset's 1e-8 KKT tolerance
-by the fully-jitted vmapped IPM (per-instance convergence masks).
+Workload (headline): B independent instances of an 8-variable,
+2-constraint nonconvex NLP family (random quadratic objectives, one linear
++ one quadratic constraint, variable bounds), solved to the ipopt preset's
+1e-8 KKT tolerance by the fully-jitted vmapped IPM (per-instance
+convergence masks).
 
-Baseline: MEASURED in-container — the reference Uno 2.0.0 was built from
+Baseline: MEASURED in-container — the reference Uno 2.0.0 built from
 /root/reference and run through its own driver on the SAME flagship family
-(tools/baseline/: hand-coded analytic models + LAPACK dense LDL^T behind the
+(tools/baseline/: analytic models + LAPACK dense LDL^T behind the
 DirectSymmetricIndefiniteLinearSolver seam, ipopt preset):
   BENCH instances=2000 solved=2000 solves_per_sec=3241 mean_iterations=9.57
-vs_baseline = value / 3241.  BASELINE.md's target is >= 50x single-core
-throughput.  See tools/baseline/TRACE_DIFF.md for the trace-level parity
-evidence (hs015: 17 iterations in both solvers).
+vs_baseline = value / 3241.  BASELINE.md target: >= 50x single-core.
 
-The detail section also reports per-iteration KKT latency (assemble-free
-factorize+solve ms at n in {32,128,512,1024}) for BASELINE.md row 2.
+TIMING METHODOLOGY (round-3 fix): under the axon remote-TPU platform,
+jax.block_until_ready returns BEFORE remote execution completes (verified:
+20 chained 2560^2 Cholesky factorizations "complete" in 2 ms under
+block_until_ready vs ~12 ms of real device time measured by value
+fetching).  Every measurement below therefore (a) forces a VALUE TRANSFER
+(np.asarray of a result) inside the timed region, and (b) reports the
+DIFFERENCE between a long and a short run of the same executable, which
+cancels the ~30 ms per-call dispatch/round-trip overhead.  Round-2's
+BENCH_r02 figures used block_until_ready and overstate throughput; the
+detail section carries both conventions for comparability.
 """
 
 import json
@@ -27,6 +35,47 @@ import sys
 import time
 
 import numpy as np
+
+
+def _flagship_n(batch: int, n: int):
+    """The flagship family generalized to n variables (m=2)."""
+    import jax.numpy as jnp
+    from uno_tpu.model.nlp import nlp_from_functions, INF
+
+    def f(x, p):
+        return jnp.sum((x - p) ** 2) + 0.1 * jnp.sum(x[:-1] * x[1:])
+
+    def c(x, p):
+        return jnp.array([jnp.sum(x) - 1.0, jnp.sum(x * x) - 2.0])
+
+    nlp = nlp_from_functions(
+        f"flagship_n{n}", f, c,
+        x0=np.full(n, 0.5),
+        x_lb=np.zeros(n), x_ub=np.full(n, INF),
+        c_lb=[0.0, -INF], c_ub=[INF, 0.0],
+        params=np.zeros(n),
+    )
+    rng = np.random.default_rng(0)
+    params = rng.uniform(-0.5, 1.0, (batch, n))
+    x0 = np.tile(np.full(n, 0.5), (batch, 1))
+    return nlp, x0, params
+
+
+def _timed_batch(jax, run, x0j, pj, reps_long=5, reps_short=1):
+    """Per-batch wall seconds via long/short differencing with value fetch."""
+    def once(reps):
+        t0 = time.time()
+        outs = [run(x0j, pj) for _ in range(reps)]
+        # force materialization of every run's status (value transfer)
+        for o in outs:
+            np.asarray(o.status)
+        return time.time() - t0, outs[-1]
+
+    once(1)  # warm dispatch path
+    t_short, _ = once(reps_short)
+    t_long, final = once(reps_long)
+    per_batch = (t_long - t_short) / (reps_long - reps_short)
+    return max(per_batch, 1e-9), t_long / reps_long, final
 
 
 def main():
@@ -38,129 +87,216 @@ def main():
     sys.path.insert(0, "/root/repo")
     import uno_tpu  # noqa: F401  (enables x64)
     from uno_tpu.options import preset
-    from uno_tpu.solvers.batch import build_batch_ipm
-    from __graft_entry__ import _flagship
+    from uno_tpu.solvers.batch import build_batch_ipm, build_batch_sqp
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     kkt_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
-    mode = sys.argv[3] if len(sys.argv) > 3 else "plain"
-    # round-2 measured configuration (all verified lossless on this family —
-    # identical per-instance iteration counts and 100% solved at 1e-8):
-    #   filter_capacity=8: the vectorized Waechter filter RESETS at every mu
-    #     change, so live entries stay tiny; capacity 50 (reference default)
-    #     pays an O(cap^2) one-hot contraction per iteration (+16% wall)
-    #   LS_batch_candidates=1: the 4-candidate vectorized backtracking costs
-    #     more in per-iteration bandwidth than the rare extra loop trip saves
-    #     (+13% wall) on this family where alpha=1 usually accepts
+    quick = "--quick" in sys.argv
+    # round-2 measured configuration (verified lossless on this family —
+    # identical per-instance iteration counts, 100% solved at 1e-8):
+    # filter_capacity=8 (the vectorized Waechter filter resets at each mu
+    # change), LS_batch_candidates=1 (alpha=1 usually accepts here)
     opts = preset("ipopt", scale_functions=False, kkt_dtype=kkt_dtype,
                   LS_batch_candidates=1, filter_capacity=8)
-    nlp, x0, params = _flagship(B)
+    nlp, x0, params = _flagship_n(B, 8)
 
-    if mode == "bucketed":
-        from uno_tpu.solvers.batch import build_bucketed_batch_ipm
-        prob, run = build_bucketed_batch_ipm(
-            nlp, opts, params_example=jnp.asarray(params[0]),
-            segment=6, min_bucket=max(256, B // 16))
-    else:
-        prob, run = build_batch_ipm(nlp, opts, params_example=jnp.asarray(params[0]))
-    x0j, pj = jnp.asarray(x0), jnp.asarray(params)
-
-    # compile (excluded from the measurement)
     t0 = time.time()
-    final = jax.block_until_ready(run(x0j, pj))
+    prob, run = build_batch_ipm(nlp, opts, params_example=jnp.asarray(params[0]))
+    x0j, pj = jnp.asarray(x0), jnp.asarray(params)
+    final = run(x0j, pj)
+    np.asarray(final.status)
     compile_and_first = time.time() - t0
 
-    # timed: steady-state throughput over pipelined batches (blocking after
-    # every single run would charge the host->remote-chip dispatch latency
-    # (~40 ms through the tunnel) to each batch; in production, batches are
-    # enqueued back-to-back and XLA overlaps dispatch with compute)
-    reps = 5
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(reps):
-            final = run(x0j, pj)
-        jax.block_until_ready(final)
-        times.append((time.time() - t0) / reps)
-    best = min(times)
+    # warm-rebuild (jit-cache hit) cost: the whole build+first-run again
+    t0 = time.time()
+    prob2, run2 = build_batch_ipm(nlp, opts, params_example=jnp.asarray(params[0]))
+    np.asarray(run2(x0j, pj).status)
+    warm_rebuild_s = time.time() - t0
 
-    # ------------------------------------------------------------------
-    # BASELINE.md row 2: KKT factorize+solve ms/iter vs speed-of-light.
-    # Barrier-KKT-like SPD-shifted indefinite test matrices (diag spread
-    # 1e-6..1e6), single instance (latency, the reference's regime) at the
-    # bench kkt_dtype, via the same pick_factorizer path the IPM uses.
-    # ------------------------------------------------------------------
-    from uno_tpu.ingredients.regularization import pick_factorizer
-    from uno_tpu.linalg.ldlt import ldlt_solve
-
-    kkt_stats = {}
-    rng = np.random.default_rng(1)
-    dt = jnp.float32 if kkt_dtype == "float32" else jnp.float64
-    for n in (32, 128, 512, 1024):
-        m = n // 4
-        dim = n + m
-        Q = rng.standard_normal((dim, dim))
-        A = (Q + Q.T) / 2
-        A[np.diag_indices(dim)] = np.concatenate([
-            10.0 ** rng.uniform(-6, 6, n), -(10.0 ** rng.uniform(-6, 0, m))])
-        Aj = jnp.asarray(A, dtype=dt)
-        rhs = jnp.asarray(rng.standard_normal(dim), dtype=dt)
-        fac_fn = pick_factorizer(dim, opts.ldlt_block_size)
-
-        # chain K cycles on-device (solution feeds the next rhs) so the
-        # host->chip dispatch latency amortizes away, as it does inside the
-        # IPM's fused while_loop
-        K = 50 if dim <= 256 else 20
-
-        @jax.jit
-        def cycles(Ax, b):
-            def body(_, carry):
-                bk, acc = carry
-                fac = fac_fn(Ax)
-                sol = ldlt_solve(fac, bk)
-                nrm = jnp.linalg.norm(sol)
-                acc = acc + jnp.asarray(fac.num_neg, acc.dtype)
-                return sol / jnp.maximum(nrm, 1e-30), acc
-            return jax.lax.fori_loop(0, K, body, (b, jnp.zeros((), jnp.int64)))
-
-        jax.block_until_ready(cycles(Aj, rhs))  # compile
-        reps = 5
-        t0 = time.time()
-        for _ in range(reps):
-            out = cycles(Aj, rhs)
-        jax.block_until_ready(out)
-        ms = (time.time() - t0) / (reps * K) * 1e3
-        flops = dim ** 3 / 3 + 2 * dim ** 2
-        kkt_stats[f"n{n}"] = {"dim": dim, "ms": round(ms, 3),
-                              "gflops": round(flops / (ms * 1e-3) / 1e9, 1)}
+    per_batch, per_batch_incl_dispatch, final = _timed_batch(jax, run, x0j, pj)
 
     status = np.asarray(final.status)
     solved = int(np.sum((status == 1) | (status == 2)))
     iters = np.asarray(final.iteration)
-    throughput = solved / best
+    throughput = solved / per_batch
+
+    detail = {
+        "batch": B,
+        "solved": solved,
+        "wall_s_per_batch": round(per_batch, 4),
+        "wall_s_incl_dispatch": round(per_batch_incl_dispatch, 4),
+        "compile_and_first_s": round(compile_and_first, 1),
+        "warm_rebuild_s": round(warm_rebuild_s, 2),
+        "mean_iterations": round(float(iters.mean()), 2),
+        "max_iterations": int(iters.max()),
+        "tolerance": 1e-8,
+        "kkt_dtype": kkt_dtype,
+        "device": str(jax.devices()[0]),
+        "baseline_solves_per_sec": 3241.0,
+        "baseline_provenance":
+            "measured: reference Uno built+run in-container, tools/baseline",
+        "timing": "long/short differencing with value fetch "
+                  "(block_until_ready does not synchronize under axon)",
+    }
+
+    # ------------------------------------------------------------------
+    # throughput vs n (ipopt), VERDICT round-2 item 6
+    # ------------------------------------------------------------------
+    if not quick:
+        curve = {}
+        for n_sz, b_sz in ((32, 8192), (128, 2048)):
+            nlp_n, x0n, pn = _flagship_n(b_sz, n_sz)
+            _, run_n = build_batch_ipm(nlp_n, opts,
+                                       params_example=jnp.asarray(pn[0]))
+            x0nj, pnj = jnp.asarray(x0n), jnp.asarray(pn)
+            pb, _, fin = _timed_batch(jax, run_n, x0nj, pnj, reps_long=3)
+            st = np.asarray(fin.status)
+            sv = int(np.sum((st == 1) | (st == 2)))
+            curve[f"n{n_sz}"] = {"batch": b_sz, "solved": sv,
+                                 "solves_per_sec": round(sv / pb, 1)}
+        detail["ipopt_throughput_vs_n"] = curve
+
+        # --------------------------------------------------------------
+        # fused SQP presets on the batch axis (filtersqp + byrd),
+        # VERDICT round-2 item 6
+        # --------------------------------------------------------------
+        sqp_stats = {}
+        for preset_name, b_sz in (("filtersqp", 4096), ("byrd", 2048)):
+            p_opts = preset(preset_name, scale_functions=False,
+                            kkt_dtype=kkt_dtype)
+            nlp_s, x0s, ps = _flagship_n(b_sz, 8)
+            try:
+                _, run_s = build_batch_sqp(nlp_s, p_opts,
+                                           params_example=jnp.asarray(ps[0]))
+                x0sj, psj = jnp.asarray(x0s), jnp.asarray(ps)
+                pb, _, fin = _timed_batch(jax, run_s, x0sj, psj, reps_long=3)
+                st = np.asarray(fin.status)
+                sv = int(np.sum((st == 1) | (st == 2) | (st == 8)))
+                sqp_stats[preset_name] = {
+                    "batch": b_sz, "solved": sv,
+                    "solves_per_sec": round(sv / pb, 1)}
+            except Exception as exc:  # noqa: BLE001 — report, don't abort
+                sqp_stats[preset_name] = {"error": f"{type(exc).__name__}"}
+        detail["fused_sqp_solves_per_sec"] = sqp_stats
+
+    # ------------------------------------------------------------------
+    # KKT factorize+solve ms/iter (BASELINE.md row 2): chained on-device
+    # cycles, two chain lengths, slope = per-iteration latency
+    # ------------------------------------------------------------------
+    from uno_tpu.ingredients.regularization import pick_factorizer
+    from uno_tpu.linalg.ldlt import ldlt_solve
+
+    def chain_ms(make_cycles, *args, K1=5, K2=25):
+        f1, f2 = make_cycles(K1), make_cycles(K2)
+        float(jnp.sum(f1(*args)[0]))  # compile+warm short
+        float(jnp.sum(f2(*args)[0]))  # compile+warm long
+        t0 = time.time()
+        float(jnp.sum(f1(*args)[0]))
+        t_short = time.time() - t0
+        t0 = time.time()
+        float(jnp.sum(f2(*args)[0]))
+        t_long = time.time() - t0
+        return max(t_long - t_short, 1e-9) / (K2 - K1) * 1e3
+
+    kkt_stats = {}
+    rng = np.random.default_rng(1)
+    dt = jnp.float32 if kkt_dtype == "float32" else jnp.float64
+    dims = (32, 128, 512, 1024) if not quick else (128,)
+    for n_sz in dims:
+        m_sz = n_sz // 4
+        dim = n_sz + m_sz
+        Q = rng.standard_normal((dim, dim))
+        A = (Q + Q.T) / 2
+        A[np.diag_indices(dim)] = np.concatenate([
+            10.0 ** rng.uniform(-6, 6, n_sz),
+            -(10.0 ** rng.uniform(-6, 0, m_sz))])
+        Aj = jnp.asarray(A, dtype=dt)
+        rhs = jnp.asarray(rng.standard_normal(dim), dtype=dt)
+        fac_fn = pick_factorizer(dim, opts.ldlt_block_size)
+
+        def make_cycles(K, fac_fn=fac_fn, Aj=Aj):
+            @jax.jit
+            def cycles(b):
+                def body(_, carry):
+                    bk, acc = carry
+                    fac = fac_fn(Aj)
+                    sol = ldlt_solve(fac, bk)
+                    acc = acc + jnp.asarray(fac.num_neg, acc.dtype)
+                    return sol / jnp.maximum(jnp.linalg.norm(sol), 1e-30), acc
+                return jax.lax.fori_loop(0, K, body,
+                                         (b, jnp.zeros((), jnp.int64)))
+            return cycles
+
+        ms = chain_ms(make_cycles, rhs)
+        flops = dim ** 3 / 3 + 2 * dim ** 2
+        kkt_stats[f"n{n_sz}"] = {"dim": dim, "ms": round(ms, 3),
+                                 "gflops": round(flops / (ms * 1e-3) / 1e9, 1)}
+    detail["kkt_ms_per_iter"] = kkt_stats
+
+    # ------------------------------------------------------------------
+    # structured (banded) vs dense factorize+solve at n=4096
+    # (round-3 structured-KKT path; VERDICT item 1 done-criterion)
+    # ------------------------------------------------------------------
+    if not quick:
+        from uno_tpu.linalg.banded import (band_to_blocks, btd_cholesky,
+                                           btd_solve, pick_block_size)
+        nb_dim, bw = 4096, 31
+        band = np.zeros((bw + 1, nb_dim), dtype=np.float32)
+        for d in range(bw + 1):
+            band[d, : nb_dim - d] = rng.standard_normal(nb_dim - d) * 0.1
+        band[0] = np.abs(band).sum(0) * 2 + 2.0
+        nb = pick_block_size(bw)
+        bj = jnp.asarray(band, dtype=dt)
+        rhs = jnp.asarray(rng.standard_normal(nb_dim), dtype=dt)
+
+        def make_banded(K):
+            @jax.jit
+            def cycles(b):
+                def body(_, carry):
+                    bk, acc = carry
+                    D, E = band_to_blocks(bj, nb)
+                    fac = btd_cholesky(D, E)
+                    sol = btd_solve(fac, bk)
+                    acc = acc + jnp.asarray(fac.num_pos, acc.dtype)
+                    return sol / jnp.maximum(jnp.linalg.norm(sol), 1e-30), acc
+                return jax.lax.fori_loop(0, K, body,
+                                         (b, jnp.zeros((), jnp.int64)))
+            return cycles
+
+        banded_ms = chain_ms(make_banded, rhs)
+
+        # dense comparison at the same dimension
+        Q = rng.standard_normal((nb_dim, nb_dim)).astype(np.float32)
+        Ad = (Q + Q.T) * 0.05
+        Ad[np.diag_indices(nb_dim)] = np.abs(Ad).sum(1) + 1.0
+        Adj = jnp.asarray(Ad, dtype=dt)
+        fac_fn = pick_factorizer(nb_dim, opts.ldlt_block_size)
+
+        def make_dense(K):
+            @jax.jit
+            def cycles(b):
+                def body(_, carry):
+                    bk, acc = carry
+                    fac = fac_fn(Adj)
+                    sol = ldlt_solve(fac, bk)
+                    acc = acc + jnp.asarray(fac.num_neg, acc.dtype)
+                    return sol / jnp.maximum(jnp.linalg.norm(sol), 1e-30), acc
+                return jax.lax.fori_loop(0, K, body,
+                                         (b, jnp.zeros((), jnp.int64)))
+            return cycles
+
+        dense_ms = chain_ms(make_dense, rhs, K1=2, K2=8)
+        detail["banded_n4096_b31"] = {
+            "banded_ms": round(banded_ms, 3),
+            "dense_ms": round(dense_ms, 3),
+            "speedup": round(dense_ms / max(banded_ms, 1e-9), 1)}
 
     result = {
         "metric": "batched_ipm_solves_per_sec",
         "value": round(throughput, 2),
         "unit": "solves/s",
-        # measured single-core reference throughput on this family
-        # (tools/baseline/TRACE_DIFF.md): 3241 solves/s
         "vs_baseline": round(throughput / 3241.0, 3),
-        "detail": {
-            "batch": B,
-            "solved": solved,
-            "wall_s": round(best, 4),
-            "compile_and_first_s": round(compile_and_first, 1),
-            "mean_iterations": round(float(iters.mean()), 2),
-            "max_iterations": int(iters.max()),
-            "tolerance": 1e-8,
-            "kkt_dtype": kkt_dtype,
-            "mode": mode,
-            "device": str(jax.devices()[0]),
-            "baseline_solves_per_sec": 3241.0,
-            "baseline_provenance": "measured: reference Uno built+run in-container, tools/baseline",
-            "kkt_ms_per_iter": kkt_stats,
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 
