@@ -1094,6 +1094,28 @@ def build_ipm(nlp: NLP, opts: Options, mesh=None):
     return prob, ws, step, jax.jit(run)
 
 
+def map_fixed_bound_duals(nlp_orig, y_full_scaled, zl, zu):
+    """FixedBoundsConstraintsModel::postprocess_solution parity
+    (FixedBoundsConstraintsModel.cpp:168-181): the multipliers of the
+    equality rows appended for fixed variables (l == u) move back to the
+    BOUND duals of those variables — positive to zl, negative to zu.
+    y_full_scaled is the full reformulated-problem multiplier vector in
+    original-model scaling; rows nlp_orig.m.. are the fixed rows in
+    np.nonzero(fixed_variables) order (transforms.fixed_bounds_to_constraints)."""
+    fixed_idx = np.nonzero(nlp_orig.fixed_variables)[0]
+    zl = np.asarray(zl).copy()
+    zu = np.asarray(zu).copy()
+    for k, vi in enumerate(fixed_idx):
+        row = nlp_orig.m + k
+        if row < y_full_scaled.shape[0]:
+            ym = float(y_full_scaled[row])
+            if ym > 0.0:
+                zl[vi] = ym
+            else:
+                zu[vi] = ym
+    return zl, zu
+
+
 def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
     t0 = time.time()
     prob, ws, step, run = build_ipm(nlp, opts)
@@ -1164,15 +1186,18 @@ def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
     x_orig = x_full[: nlp.n]
     f_scale = prob.f_scale
     c_scale = prob.c_scale if prob.c_scale is not None else np.ones(max(ws.m, 1))
-    y = np.asarray(final.y)[: nlp.m] * c_scale[: nlp.m] / f_scale if nlp.m else np.zeros(0)
+    y_full = np.asarray(final.y) * c_scale[: np.asarray(final.y).shape[0]] / f_scale
+    y = y_full[: nlp.m] if nlp.m else np.zeros(0)
+    zl_out, zu_out = map_fixed_bound_duals(
+        nlp, y_full, np.asarray(final.zl)[: nlp.n] / f_scale,
+        np.asarray(final.zu)[: nlp.n] / f_scale)
     f_val = float(nlp.objective(jnp.asarray(x_orig)))
     if callbacks is not None and hasattr(callbacks, "notify_acceptable_iterate"):
         callbacks.notify_acceptable_iterate(x_orig, y, 1.0)
     return Result(
         status=STATUS_NAMES[int(final.status)],
         x=x_orig, y=y,
-        zl=np.asarray(final.zl)[: nlp.n] / f_scale,
-        zu=np.asarray(final.zu)[: nlp.n] / f_scale,
+        zl=zl_out, zu=zu_out,
         objective=f_val,
         iterations=int(final.iteration),
         primal_feasibility=float(final.primal_feas),

@@ -149,7 +149,7 @@ def build_qp_solver(struct: QPStructure, opts: Options,
             return err
 
         def body(carry):
-            d, s, y, zl, zu, wl, wu, mu, prev_delta, it, status = carry
+            d, s, y, zl, zu, wl, wu, mu, prev_delta, it, status, min_pres = carry
 
             Sigma_d = bar.barrier_hessian_diag(d, zl, zu, dl, du, has_dl, has_du)
             g_bar_d = g + H @ d \
@@ -224,16 +224,25 @@ def build_qp_solver(struct: QPStructure, opts: Options,
             status = jnp.where(jnp.max(jnp.abs(d), initial=0.0) > 1e10,
                                QP_UNBOUNDED, status)
             status = jnp.where(reg.failed | ~finite, QP_ERROR, status)
-            return d, s, y, zl, zu, wl, wu, mu, reg.prev_delta, it, status
+            # best primal feasibility ever achieved (NaN-safe): the
+            # infeasibility classifier below uses it — an IP that never
+            # came close to primal feasibility was solving an infeasible QP
+            pres = jnp.max(jnp.abs(J @ d - s), initial=0.0) if m \
+                else jnp.asarray(0.0)
+            pres = jnp.where(jnp.isfinite(pres), pres, jnp.inf)
+            min_pres = jnp.minimum(min_pres, pres)
+            return (d, s, y, zl, zu, wl, wu, mu, reg.prev_delta, it, status,
+                    min_pres)
 
         def cond(carry):
-            *_, it, status = carry
+            *_, it, status, _min_pres = carry
             return (status == -1) & (it < max_iterations)
 
         init = (d0, s0, y0, zl0, zu0, wl0, wu0,
                 jnp.asarray(mu0), jnp.asarray(0.0), jnp.asarray(0),
-                jnp.asarray(-1))
-        d, s, y, zl, zu, wl, wu, mu, _, it, status = lax.while_loop(cond, body, init)
+                jnp.asarray(-1), jnp.asarray(jnp.inf))
+        (d, s, y, zl, zu, wl, wu, mu, _, it, status,
+         min_pres) = lax.while_loop(cond, body, init)
 
         err = kkt_error(d, s, y, zl, zu, wl, wu)
 
@@ -318,13 +327,33 @@ def build_qp_solver(struct: QPStructure, opts: Options,
         # ERROR, or the outer loop would enter restoration spuriously
         status = jnp.where((status == -1) & (err <= 1e-6), QP_OPTIMAL, status)
         ynorm = jnp.max(jnp.abs(y), initial=0.0) if m else jnp.asarray(0.0)
+        # infeasibility classification at the iteration cap: on a FEASIBLE
+        # QP the (linear) primal residual converges quickly, so a residual
+        # still large relative to the constraint scale after max_iterations
+        # is a practical infeasibility certificate even when the duals did
+        # not diverge (the monotone-mu rule freezes mu when the error
+        # stalls, so the classic diverging-dual ray may never develop)
+        if m:
+            bscale = 1.0 + jnp.max(
+                jnp.where(has_rl | is_eq, jnp.abs(jnp.where(has_rl | is_eq, rl, 0.0)), 0.0)
+                + jnp.where(has_ru | is_eq, jnp.abs(jnp.where(has_ru | is_eq, ru, 0.0)), 0.0),
+                initial=0.0)
+        else:
+            bscale = jnp.asarray(1.0)
         status = jnp.where(status == -1,
-                           jnp.where((primal_res > 1e-6) & (ynorm > 1e4),
+                           jnp.where((min_pres > 1e-3 * bscale)
+                                     | ((primal_res > 1e-6) & (ynorm > 1e4)),
                                      QP_INFEASIBLE, QP_ERROR),
                            status)
-        # an early ERROR exit with exploded duals is the classic infeasibility
-        # signature of an IPM (dual ray)
-        status = jnp.where((status == QP_ERROR) & (ynorm > 1e8),
+        # an early ERROR exit while primal feasibility was NEVER approached
+        # is the infeasibility signature of an IPM (the primal residual of a
+        # feasible QP is driven down by every Newton step regardless of
+        # curvature trouble; staying far from feasibility until breakdown
+        # means no feasible point exists).  min_pres is NaN-safe, and the
+        # dual norm is NOT consulted: purification zeros the exploded
+        # dual-ray multipliers of an infeasible solve.
+        status = jnp.where((status == QP_ERROR)
+                           & (min_pres > 1e-3 * bscale),
                            QP_INFEASIBLE, status)
         objective = g @ d + 0.5 * d @ (H @ d)
         return QPResult(d=d, y=y, zl=zl, zu=zu, status=status,

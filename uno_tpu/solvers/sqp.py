@@ -1000,10 +1000,15 @@ def _finalize(nlp_orig, scaled_nlp, it, res, status_name, iterations, t0,
     c_scale = scaled_nlp.c_scale if scaled_nlp.c_scale is not None \
         else np.ones(max(scaled_nlp.m, 1))
     m0 = nlp_orig.m
+    from uno_tpu.solvers.ipm import map_fixed_bound_duals
+    y_full = np.asarray(it.y) * c_scale[: np.asarray(it.y).shape[0]] / f_scale
+    zl_out, zu_out = map_fixed_bound_duals(
+        nlp_orig, y_full, it.zl[: nlp_orig.n] / f_scale,
+        it.zu[: nlp_orig.n] / f_scale)
     return Result(
         status=status_name, x=it.x[: nlp_orig.n].copy(),
-        y=it.y[:m0] * c_scale[:m0] / f_scale if m0 else np.zeros(0),
-        zl=it.zl[: nlp_orig.n] / f_scale, zu=it.zu[: nlp_orig.n] / f_scale,
+        y=y_full[:m0] if m0 else np.zeros(0),
+        zl=zl_out, zu=zu_out,
         objective=float(nlp_orig.objective(jnp.asarray(it.x[: nlp_orig.n]))),
         iterations=iterations,
         primal_feasibility=res["primal_feas"],

@@ -539,7 +539,12 @@ def make_sqp_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
                       FEASIBLE_SMALL_STEP), status)
         status = jnp.where(small & (h_cur > tol) & is_feas,
                            INFEASIBLE_SMALL_STEP, status)
-        status = jnp.where(small & (h_cur > tol) & ~is_feas,
+        # breakdown at an infeasible point that satisfies the FJ conditions
+        # at the loose tolerance IS the infeasibility certificate — report
+        # it instead of an algorithmic error (the acceptable-level exit)
+        status = jnp.where(small & (h_cur > tol) & ~is_feas & fj_ok(loose),
+                           INFEASIBLE_STATIONARY, status)
+        status = jnp.where(small & (h_cur > tol) & ~is_feas & ~fj_ok(loose),
                            ALGORITHMIC_ERROR, status)
 
         # ---- commit ---------------------------------------------------------
@@ -1172,14 +1177,19 @@ def solve_byrd_fused(nlp: NLP, opts: Options, callbacks=None,
     c_scale = prob.c_scale if prob.c_scale is not None else np.ones(max(ws.m, 1))
     m0 = nlp.m
     x_orig = np.asarray(final.x)[: nlp.n]
-    y = np.asarray(final.y)[:m0] * c_scale[:m0] / f_scale if m0 else np.zeros(0)
+    from uno_tpu.solvers.ipm import map_fixed_bound_duals
+    y_all = np.asarray(final.y)
+    y_full = y_all * c_scale[: y_all.shape[0]] / f_scale
+    y = y_full[:m0] if m0 else np.zeros(0)
+    zl_out, zu_out = map_fixed_bound_duals(
+        nlp, y_full, np.asarray(final.zl)[: nlp.n] / f_scale,
+        np.asarray(final.zu)[: nlp.n] / f_scale)
     if callbacks is not None and hasattr(callbacks, "notify_acceptable_iterate"):
         callbacks.notify_acceptable_iterate(x_orig, y, float(final.rho))
     return Result(
         status=SQP_STATUS_NAMES[int(final.status)],
         x=x_orig, y=y,
-        zl=np.asarray(final.zl)[: nlp.n] / f_scale,
-        zu=np.asarray(final.zu)[: nlp.n] / f_scale,
+        zl=zl_out, zu=zu_out,
         objective=float(nlp.objective(jnp.asarray(x_orig))),
         iterations=int(final.iteration),
         primal_feasibility=float(final.primal_feas),
@@ -1275,14 +1285,19 @@ def solve_sqp_fused(nlp: NLP, opts: Options, callbacks=None,
     c_scale = prob.c_scale if prob.c_scale is not None else np.ones(max(ws.m, 1))
     m0 = nlp.m
     x_orig = np.asarray(final.x)[: nlp.n]
-    y = np.asarray(final.y)[:m0] * c_scale[:m0] / f_scale if m0 else np.zeros(0)
+    from uno_tpu.solvers.ipm import map_fixed_bound_duals
+    y_all = np.asarray(final.y)
+    y_full = y_all * c_scale[: y_all.shape[0]] / f_scale
+    y = y_full[:m0] if m0 else np.zeros(0)
+    zl_out, zu_out = map_fixed_bound_duals(
+        nlp, y_full, np.asarray(final.zl)[: nlp.n] / f_scale,
+        np.asarray(final.zu)[: nlp.n] / f_scale)
     if callbacks is not None and hasattr(callbacks, "notify_acceptable_iterate"):
         callbacks.notify_acceptable_iterate(x_orig, y, 1.0)
     return Result(
         status=SQP_STATUS_NAMES[int(final.status)],
         x=x_orig, y=y,
-        zl=np.asarray(final.zl)[: nlp.n] / f_scale,
-        zu=np.asarray(final.zu)[: nlp.n] / f_scale,
+        zl=zl_out, zu=zu_out,
         objective=float(nlp.objective(jnp.asarray(x_orig))),
         iterations=int(final.iteration),
         primal_feasibility=float(final.primal_feas),
