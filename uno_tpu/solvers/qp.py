@@ -274,7 +274,11 @@ def build_qp_solver(struct: QPStructure, opts: Options,
                                     axis=1)
             lam = 1e-10 * (1.0 + jnp.max(jnp.abs(A)))
             AtA = A.T @ A + lam * jnp.eye(A.shape[1])
-            w = jnp.linalg.solve(AtA, A.T @ rvec)
+            # solve the SPD normal equations with the in-repo LDL^T: TPU's
+            # XLA only implements LuDecomposition (jnp.linalg.solve) for
+            # f32, and this runs in f64
+            from uno_tpu.linalg.ldlt import ldlt_factor
+            w = ldlt_solve(ldlt_factor(AtA), A.T @ rvec)
             if m:
                 y_p = jnp.where(act_row, w[:m], 0.0)
                 # one-sided active inequality rows have signed multipliers
