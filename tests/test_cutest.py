@@ -74,9 +74,14 @@ def test_scalable_instances_registered():
     names = set(problem_names())
     count = 0
     for fam in FAMILIES:
-        for n in lc.SIZES:
+        sizes = lc._FAMILIES[fam][2]
+        for n in sizes:
             if n >= lc._FAMILIES[fam][3]:
-                assert f"{fam}_n{n}" in names
+                # registry keys use the ACTUAL built size (builders snap
+                # grids to g*g, control families to stage counts — advisor
+                # round-2 finding)
+                actual = lc.cutest_problem(fam, n).n
+                assert f"{fam}_n{actual}" in names, (fam, n, actual)
                 count += 1
     assert count >= 100  # corpus width guarantee (VERDICT item 2)
     nlp = get_problem("srosenbr_n100")

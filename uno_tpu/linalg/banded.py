@@ -87,29 +87,24 @@ def band_to_blocks(band: jnp.ndarray, nb: int):
         pad = pad.at[0, :].set(1.0)
     bandp = jnp.concatenate([band, pad], axis=1)
 
-    # gather D[i][r, c]: for r >= c it is band[r-c, i*nb+c] (r-c <= b)
+    # Packing WITHOUT gathers (profiled: the fancy-indexed gather version
+    # cost 2.7 ms at n=4096 on v5e — more than the factorization itself).
+    # With T[d, i, c] = band[d, i*nb + c], the block entries are
+    #   D[i][r, c] = band[r-c, i*nb+c]      (0 <= r-c <= b)
+    #   E[i][r, c] = band[nb+r-c, i*nb+c]   (1 <= nb+r-c <= b)
+    # i.e. small placement CONTRACTIONS  D = einsum('drc,dic->irc', P, T)
+    # with 0/1 placement tensors P — MXU-friendly, no scatter/gather.
+    T = bandp.reshape(b + 1, N, nb)
     r = np.arange(nb)[:, None]
     c = np.arange(nb)[None, :]
-    d_off = r - c                      # (nb, nb), lower part in [0, b]
-    lower_ok = (d_off >= 0) & (d_off <= b)
-    d_idx = np.where(lower_ok, d_off, 0)
-    base = np.arange(N)[:, None, None] * nb + c[None]
-
-    Dl = bandp[jnp.asarray(d_idx)[None].repeat(N, axis=0).reshape(N, nb, nb),
-               jnp.asarray(base)]
-    Dl = Dl * jnp.asarray(lower_ok)[None]
+    d = np.arange(b + 1)[:, None, None]
+    PD = ((r - c)[None] == d).astype(band.dtype)          # (b+1, nb, nb)
+    Dl = jnp.einsum("drc,dic->irc", jnp.asarray(PD), T)
     D = Dl + jnp.triu(Dl.transpose(0, 2, 1), 1)
 
-    # E[i][r, c] = A[(i+1)nb + r, i*nb + c] = band[nb + r - c, i*nb + c]
-    e_off = nb + r - c
-    e_ok = (e_off >= 1) & (e_off <= b)
-    e_idx = np.where(e_ok, e_off, 0)
-    ebase = np.arange(N - 1)[:, None, None] * nb + c[None] if N > 1 else \
-        np.zeros((0, nb, nb), dtype=int)
+    PE = ((nb + r - c)[None] == d).astype(band.dtype)
     if N > 1:
-        E = bandp[jnp.asarray(e_idx)[None].repeat(N - 1, axis=0),
-                  jnp.asarray(ebase)]
-        E = E * jnp.asarray(e_ok)[None]
+        E = jnp.einsum("drc,dic->irc", jnp.asarray(PE), T[:, :-1])
         E = jnp.concatenate([E, jnp.zeros((1, nb, nb), dtype=band.dtype)])
     else:
         E = jnp.zeros((1, nb, nb), dtype=band.dtype)
