@@ -255,8 +255,10 @@ def main():
                 def body(_, carry):
                     bk, acc = carry
                     D, E = band_to_blocks(bj, nb)
-                    fac = btd_cholesky(D, E)
-                    sol = btd_solve(fac, bk)
+                    # CR depth-reduction (the backend's selector choice
+                    # at this block count)
+                    fac = btd_cholesky_cr(D, E)
+                    sol = btd_solve_cr(fac, bk)
                     acc = acc + jnp.asarray(fac.num_pos, acc.dtype)
                     return sol / jnp.maximum(jnp.linalg.norm(sol), 1e-30), acc
                 return jax.lax.fori_loop(0, K, body,

@@ -42,8 +42,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uno_tpu.linalg.banded import (BTDFactor, band_matvec, band_to_blocks,
-                                   btd_cholesky, btd_solve, pick_block_size)
+from uno_tpu.linalg.banded import (band_matvec, band_to_blocks,
+                                   btd_cholesky, btd_cholesky_cr, btd_solve,
+                                   btd_solve_cr, pick_block_size)
 
 
 class BandedKKT(NamedTuple):
@@ -57,7 +58,7 @@ class BandedKKT(NamedTuple):
 
 
 class BandedKKTFactor(NamedTuple):
-    btd: BTDFactor
+    btd: object             # BTDFactor (scan) or CRFactor (cyclic reduction)
     kkt: BandedKKT          # saved for the back-out
     denom: jnp.ndarray      # (m,) C + E sig_s^{-1} E^T + tau
     num_pos: jnp.ndarray    # inertia contract (n_full on success)
@@ -164,7 +165,14 @@ def make_banded_kkt_backend(n_full: int, n0: int, m: int,
         band = jb.at[: kkt.H_band.shape[0], :].add(kkt.H_band)
         band = band.at[0, :].add(kkt.diag0)
         D, E = band_to_blocks(band, nb)
-        btd = btd_cholesky(D, E)
+        # depth selection (measured on v5e): the sequential scan wins for
+        # few blocks; cyclic reduction's log2(N) depth wins once the block
+        # count is large (n=4096/nb=32: CR 1.2 ms vs scan 1.9 ms; n=8192:
+        # 1.7 vs 3.6; n=1280: scan 0.29 vs CR 0.60)
+        if D.shape[0] >= 64:
+            btd = btd_cholesky_cr(D, E)
+        else:
+            btd = btd_cholesky(D, E)
         ok = btd.num_zero == 0
         zero = jnp.asarray(0)
         return BandedKKTFactor(
@@ -182,7 +190,8 @@ def make_banded_kkt_backend(n_full: int, n0: int, m: int,
         else:
             rc1 = rc
             b = r0
-        dx0 = btd_solve(fac.btd, b)
+        solve_fn = btd_solve_cr if hasattr(fac.btd, "levels") else btd_solve
+        dx0 = solve_fn(fac.btd, b)
         if m:
             w = (win_mv(kkt.J_local, starts_np, dx0) - rc1) / fac.denom
             ds = (rs + gather_slack(w)) / kkt.sig_s if ns else rs

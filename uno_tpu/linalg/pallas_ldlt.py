@@ -21,8 +21,12 @@ Unpivoted, same numerics as `ldlt_factor_blocked` (the primal-dual
 inertia-correction loop upstream repairs indefinite/singular pivots — see
 linalg/ldlt.py for the design rationale).
 
-Capacity: whole-matrix-in-VMEM needs ~3*n^2*4 bytes <= ~12 MB -> n <= 1024
-(padded).  Larger systems fall back to the XLA blocked factorization.
+Capacity (round 3): the factorization works IN PLACE in the output
+buffer (processed panel rows become the L^T rows; the trailing update
+touches only the unprocessed block), so VMEM holds 2*n^2*4 bytes (input +
+working/output) -> n <= 1280 (padded).  Larger systems fall back to the
+XLA blocked factorization or, for structured models, the banded
+block-tridiagonal/cyclic-reduction path (linalg/banded.py).
 """
 
 from __future__ import annotations
@@ -42,20 +46,23 @@ try:
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
-PALLAS_MAX_DIM = 1024
+PALLAS_MAX_DIM = 1280
 
 
-def _ldlt_kernel(a_ref, lt_ref, d_ref, m_ref, *, n: int, block: int):
+def _ldlt_kernel(a_ref, lt_ref, d_ref, *, n: int, block: int):
     """Factor a_ref (n, n) -> lt_ref holds L^T (unit diagonal implied),
-    d_ref (1, n) the pivots.  m_ref is an (n, n) VMEM scratch working copy."""
+    d_ref (1, n) the pivots.  lt_ref doubles as the working copy: the
+    processed panel rows are overwritten with L^T rows while the trailing
+    update only touches the not-yet-processed block, so no separate
+    scratch is needed (extends the VMEM window to n = 1280)."""
     nblocks = n // block
-    m_ref[:] = a_ref[:]
+    lt_ref[:] = a_ref[:]
     lane_ids = lax.broadcasted_iota(jnp.int32, (1, n), 1)        # lanes
     sub_ids = lax.broadcasted_iota(jnp.int32, (block, 1), 0)     # sublanes
 
     for k in range(nblocks):            # static unroll over panels
         kb = k * block
-        pt0 = m_ref[kb:kb + block, :]                    # (block, n) panel^T
+        pt0 = lt_ref[kb:kb + block, :]                    # (block, n) panel^T
         dpan0 = jnp.zeros((1, block), dtype=pt0.dtype)
 
         def col_step(jj, carry):
@@ -101,8 +108,8 @@ def _ldlt_kernel(a_ref, lt_ref, d_ref, m_ref, *, n: int, block: int):
             dcol = jnp.sum(
                 jnp.where(lax.broadcasted_iota(jnp.int32, (block, block), 1)
                           == sub_ids, dpan, 0.0), axis=1, keepdims=True)
-            t = m_ref[kb + block:, kb + block:]          # (rest, rest)
-            m_ref[kb + block:, kb + block:] = t - lax.dot_general(
+            t = lt_ref[kb + block:, kb + block:]         # (rest, rest)
+            lt_ref[kb + block:, kb + block:] = t - lax.dot_general(
                 ptr, ptr * dcol, (((0,), (0,)), ((), ())),
                 preferred_element_type=t.dtype)
 
@@ -136,7 +143,6 @@ def ldlt_factor_pallas(A: jnp.ndarray, block: int = 32,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((n, n), dtype)],
         interpret=interpret,
     )(A)
     d = d2[0]
