@@ -157,3 +157,29 @@ def test_banded_ipm_matches_dense(name):
     assert abs(int(res_b.iterations) - int(res_d.iterations)) <= 1
     assert np.isclose(float(res_b.objective), float(res_d.objective),
                       rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("n,b", [(64, 3), (257, 5), (961, 31), (1000, 1)])
+def test_cyclic_reduction_matches_scan(n, b):
+    """btd_cholesky_cr/btd_solve_cr (log-depth) solve the same systems as
+    the sequential scan to machine precision, with the same PD contract."""
+    from uno_tpu.linalg.banded import btd_cholesky_cr, btd_solve_cr
+    rng = np.random.default_rng(n * 7 + b)
+    A, band = _random_banded_spd(n, b, rng)
+    rhs = rng.standard_normal(n)
+    nb = pick_block_size(b)
+    D, E = band_to_blocks(jnp.asarray(band), nb)
+    fac = btd_cholesky_cr(D, E)
+    assert int(fac.num_zero) == 0
+    x = np.asarray(btd_solve_cr(fac, jnp.asarray(rhs)))
+    assert np.max(np.abs(A @ x - rhs)) < 1e-9
+
+
+def test_cyclic_reduction_detects_indefinite():
+    from uno_tpu.linalg.banded import btd_cholesky_cr
+    band = np.zeros((1, 16))
+    band[0] = 1.0
+    band[0, 5] = -2.0
+    D, E = band_to_blocks(jnp.asarray(band), 8)
+    fac = btd_cholesky_cr(D, E)
+    assert int(fac.num_zero) > 0
