@@ -78,7 +78,35 @@ def _timed_batch(jax, run, x0j, pj, reps_long=5, reps_short=1):
     return max(per_batch, 1e-9), t_long / reps_long, final
 
 
+def _fused_only(preset_name: str, b_sz: int, kkt_dtype: str):
+    """Subprocess entry: measure one fused-SQP preset's batched
+    throughput and print a one-line JSON."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    sys.path.insert(0, "/root/repo")
+    import uno_tpu  # noqa: F401
+    from uno_tpu.options import preset
+    from uno_tpu.solvers.batch import build_batch_sqp
+
+    p_opts = preset(preset_name, scale_functions=False, kkt_dtype=kkt_dtype)
+    nlp_s, x0s, ps = _flagship_n(b_sz, 8)
+    _, run_s = build_batch_sqp(nlp_s, p_opts,
+                               params_example=jnp.asarray(ps[0]))
+    pb, _, fin = _timed_batch(jax, run_s, jnp.asarray(x0s), jnp.asarray(ps),
+                              reps_long=3)
+    st = np.asarray(fin.status)
+    sv = int(np.sum((st == 1) | (st == 2) | (st == 8)))
+    print(json.dumps({"batch": b_sz, "solved": sv,
+                      "solves_per_sec": round(sv / pb, 1)}))
+
+
 def main():
+    if "--fused-only" in sys.argv:
+        i = sys.argv.index("--fused-only")
+        _fused_only(sys.argv[i + 1], int(sys.argv[i + 2]), sys.argv[i + 3])
+        return
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -157,24 +185,24 @@ def main():
         detail["ipopt_throughput_vs_n"] = curve
 
         # --------------------------------------------------------------
-        # fused SQP presets on the batch axis (filtersqp + byrd),
-        # VERDICT round-2 item 6
+        # fused SQP presets on the batch axis (filtersqp + byrd), VERDICT
+        # round-2 item 6.  Run in a SUBPROCESS: large fused-SQP batches
+        # can crash the remote TPU worker (observed at filtersqp B=4096),
+        # and a worker crash poisons the whole client session — isolating
+        # the measurement keeps the rest of the bench alive either way.
         # --------------------------------------------------------------
+        import subprocess
         sqp_stats = {}
-        for preset_name, b_sz in (("filtersqp", 4096), ("byrd", 2048)):
-            p_opts = preset(preset_name, scale_functions=False,
-                            kkt_dtype=kkt_dtype)
-            nlp_s, x0s, ps = _flagship_n(b_sz, 8)
+        for preset_name, b_sz in (("filtersqp", 1024), ("byrd", 1024)):
             try:
-                _, run_s = build_batch_sqp(nlp_s, p_opts,
-                                           params_example=jnp.asarray(ps[0]))
-                x0sj, psj = jnp.asarray(x0s), jnp.asarray(ps)
-                pb, _, fin = _timed_batch(jax, run_s, x0sj, psj, reps_long=3)
-                st = np.asarray(fin.status)
-                sv = int(np.sum((st == 1) | (st == 2) | (st == 8)))
-                sqp_stats[preset_name] = {
-                    "batch": b_sz, "solved": sv,
-                    "solves_per_sec": round(sv / pb, 1)}
+                out = subprocess.run(
+                    [sys.executable, __file__, "--fused-only", preset_name,
+                     str(b_sz), kkt_dtype],
+                    capture_output=True, text=True, timeout=3600)
+                line = [l for l in out.stdout.splitlines()
+                        if l.startswith("{")]
+                sqp_stats[preset_name] = json.loads(line[-1]) if line else {
+                    "error": f"no output (rc={out.returncode})"}
             except Exception as exc:  # noqa: BLE001 — report, don't abort
                 sqp_stats[preset_name] = {"error": f"{type(exc).__name__}"}
         detail["fused_sqp_solves_per_sec"] = sqp_stats
