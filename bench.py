@@ -229,7 +229,7 @@ def main():
     kkt_stats = {}
     rng = np.random.default_rng(1)
     dt = jnp.float32 if kkt_dtype == "float32" else jnp.float64
-    dims = (32, 128, 512, 1024) if not quick else (128,)
+    dims = (32, 128, 512, 1024, 2048) if not quick else (128,)
     for n_sz in dims:
         m_sz = n_sz // 4
         dim = n_sz + m_sz
@@ -266,8 +266,8 @@ def main():
     # (round-3 structured-KKT path; VERDICT item 1 done-criterion)
     # ------------------------------------------------------------------
     if not quick:
-        from uno_tpu.linalg.banded import (band_to_blocks, btd_cholesky,
-                                           btd_solve, pick_block_size)
+        from uno_tpu.linalg.banded import (band_to_blocks, btd_cholesky_cr,
+                                           btd_solve_cr, pick_block_size)
         nb_dim, bw = 4096, 31
         band = np.zeros((bw + 1, nb_dim), dtype=np.float32)
         for d in range(bw + 1):
