@@ -120,6 +120,27 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     kkt_dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
     quick = "--quick" in sys.argv
+
+    # fused-SQP subprocess measurements run FIRST, before this process
+    # touches the TPU: the remote device session is exclusive, and a
+    # subprocess competing with the parent for it fails (and a fused-SQP
+    # crash at large B would poison the parent's session)
+    fused_sqp_stats = {}
+    if not quick:
+        import subprocess
+        for preset_name, b_sz in (("filtersqp", 1024), ("byrd", 512)):
+            try:
+                out = subprocess.run(
+                    [sys.executable, __file__, "--fused-only", preset_name,
+                     str(b_sz), kkt_dtype],
+                    capture_output=True, text=True, timeout=3600)
+                line = [l for l in out.stdout.splitlines()
+                        if l.startswith("{")]
+                fused_sqp_stats[preset_name] = json.loads(line[-1]) \
+                    if line else {"error": f"no output (rc={out.returncode})"}
+            except Exception as exc:  # noqa: BLE001
+                fused_sqp_stats[preset_name] = {
+                    "error": f"{type(exc).__name__}"}
     # round-2 measured configuration (verified lossless on this family —
     # identical per-instance iteration counts, 100% solved at 1e-8):
     # filter_capacity=8 (the vectorized Waechter filter resets at each mu
@@ -183,29 +204,7 @@ def main():
             curve[f"n{n_sz}"] = {"batch": b_sz, "solved": sv,
                                  "solves_per_sec": round(sv / pb, 1)}
         detail["ipopt_throughput_vs_n"] = curve
-
-        # --------------------------------------------------------------
-        # fused SQP presets on the batch axis (filtersqp + byrd), VERDICT
-        # round-2 item 6.  Run in a SUBPROCESS: large fused-SQP batches
-        # can crash the remote TPU worker (observed at filtersqp B=4096),
-        # and a worker crash poisons the whole client session — isolating
-        # the measurement keeps the rest of the bench alive either way.
-        # --------------------------------------------------------------
-        import subprocess
-        sqp_stats = {}
-        for preset_name, b_sz in (("filtersqp", 1024), ("byrd", 1024)):
-            try:
-                out = subprocess.run(
-                    [sys.executable, __file__, "--fused-only", preset_name,
-                     str(b_sz), kkt_dtype],
-                    capture_output=True, text=True, timeout=3600)
-                line = [l for l in out.stdout.splitlines()
-                        if l.startswith("{")]
-                sqp_stats[preset_name] = json.loads(line[-1]) if line else {
-                    "error": f"no output (rc={out.returncode})"}
-            except Exception as exc:  # noqa: BLE001 — report, don't abort
-                sqp_stats[preset_name] = {"error": f"{type(exc).__name__}"}
-        detail["fused_sqp_solves_per_sec"] = sqp_stats
+        detail["fused_sqp_solves_per_sec"] = fused_sqp_stats
 
     # ------------------------------------------------------------------
     # KKT factorize+solve ms/iter (BASELINE.md row 2): chained on-device
