@@ -88,8 +88,8 @@ def build_qp_solver(struct: QPStructure, opts: Options,
                             primal_regularization_slow_increase_factor=2.0,
                             primal_regularization_fast_increase_factor=10.0)
 
-    def _solve_scaled(g, H, J, rl, ru, dl, du, warm_d=None, warm_y=None,
-                      H_purify=None):
+    def solve(g, H, J, rl, ru, dl, du, warm_d=None, warm_y=None,
+              H_purify=None):
         """warm_d/warm_y: primal/dual warmstart (the IP analogue of BQPD's
         active-set reuse, BQPDSolver.cpp:246-258): start from the previous
         QP's solution pushed interior with a small initial barrier, so TR
@@ -362,26 +362,6 @@ def build_qp_solver(struct: QPStructure, opts: Options,
         objective = g @ d + 0.5 * d @ (H @ d)
         return QPResult(d=d, y=y, zl=zl, zu=zu, status=status,
                         objective=objective, iterations=it, kkt_error=err)
-
-    def solve(g, H, J, rl, ru, dl, du, warm_d=None, warm_y=None,
-              H_purify=None):
-        """Row-equilibrated entry: constraint rows are scaled to unit
-        inf-norm before the IP solve and the multipliers unscaled after —
-        the internal scaling BQPD/HiGHS apply, without which rows with
-        1e4..1e5 coefficient ranges (hs097-class) leave O(1) stationarity
-        error in the extracted duals."""
-        if m:
-            rnorm = jnp.maximum(jnp.max(jnp.abs(J), axis=1), 1e-10)
-            res = _solve_scaled(
-                g, H, J / rnorm[:, None],
-                jnp.where(jnp.isfinite(rl), rl / rnorm, rl),
-                jnp.where(jnp.isfinite(ru), ru / rnorm, ru),
-                dl, du, warm_d=warm_d,
-                warm_y=None if warm_y is None else warm_y * rnorm,
-                H_purify=H_purify)
-            return res._replace(y=res.y / rnorm)
-        return _solve_scaled(g, H, J, rl, ru, dl, du, warm_d=warm_d,
-                             warm_y=warm_y, H_purify=H_purify)
 
     # jit: one executable per QP family (+1 for the warmstarted signature)
     # instead of thousands of per-op dispatches per solve
