@@ -128,7 +128,7 @@ def main():
     fused_sqp_stats = {}
     if not quick:
         import subprocess
-        for preset_name, b_sz in (("filtersqp", 1024), ("byrd", 512)):
+        for preset_name, b_sz in (("filtersqp", 512), ("byrd", 512)):
             try:
                 out = subprocess.run(
                     [sys.executable, __file__, "--fused-only", preset_name,
@@ -137,7 +137,8 @@ def main():
                 line = [l for l in out.stdout.splitlines()
                         if l.startswith("{")]
                 fused_sqp_stats[preset_name] = json.loads(line[-1]) \
-                    if line else {"error": f"no output (rc={out.returncode})"}
+                    if line else {"error": f"no output (rc={out.returncode})",
+                                  "stderr_tail": out.stderr[-300:]}
             except Exception as exc:  # noqa: BLE001
                 fused_sqp_stats[preset_name] = {
                     "error": f"{type(exc).__name__}"}
