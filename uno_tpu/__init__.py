@@ -27,9 +27,10 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 from uno_tpu.options import Options, preset  # noqa: E402
-from uno_tpu.model.nlp import NLP, nlp_from_functions  # noqa: E402
+from uno_tpu.model.nlp import NLP, NLPStructure, nlp_from_functions  # noqa: E402
 from uno_tpu.api import solve  # noqa: E402
 
 __version__ = "0.1.0"
 
-__all__ = ["Options", "preset", "NLP", "nlp_from_functions", "solve", "__version__"]
+__all__ = ["Options", "preset", "NLP", "NLPStructure",
+           "nlp_from_functions", "solve", "__version__"]
