@@ -97,8 +97,14 @@ def _fused_only(preset_name: str, b_sz: int, kkt_dtype: str):
     pb, _, fin = _timed_batch(jax, run_s, jnp.asarray(x0s), jnp.asarray(ps),
                               reps_long=3)
     st = np.asarray(fin.status)
-    sv = int(np.sum((st == 1) | (st == 2) | (st == 8)))
-    print(json.dumps({"batch": b_sz, "solved": sv,
+    # strict-tolerance solves (1=KKT, 2=small-step) reported apart from the
+    # loose-tolerance ALMOST_OPTIMAL exits (8) so claims distinguish
+    # converged from acceptable-level (advisor round-3)
+    sv_strict = int(np.sum((st == 1) | (st == 2)))
+    sv_loose = int(np.sum(st == 8))
+    sv = sv_strict + sv_loose
+    print(json.dumps({"batch": b_sz, "solved": sv_strict,
+                      "solved_loose": sv_loose,
                       "solves_per_sec": round(sv / pb, 1)}))
 
 

@@ -183,3 +183,25 @@ def test_cyclic_reduction_detects_indefinite():
     D, E = band_to_blocks(jnp.asarray(band), 8)
     fac = btd_cholesky_cr(D, E)
     assert int(fac.num_zero) > 0
+
+
+def test_auto_banded_incomplete_declaration_falls_back_to_dense():
+    """'auto' must not route a constrained model that declares only
+    hess_bandwidth (no jac_starts) into the banded backend — it solves via
+    the dense path instead of crashing at trace time (advisor round-3,
+    medium).  Explicit kkt_formulation='banded' raises for the same model."""
+    import uno_tpu
+    import dataclasses
+    from uno_tpu.model.library import get_problem
+    from uno_tpu.model.nlp import NLPStructure
+
+    nlp = get_problem("hs015")
+    nlp = dataclasses.replace(
+        nlp, structure=NLPStructure(hess_bandwidth=1, jac_starts=None,
+                                    jac_width=0, jac_col_limit=None))
+    res = uno_tpu.solve(nlp, preset="ipopt")  # kkt_formulation defaults auto
+    assert res.success
+    assert abs(res.objective - 306.5) < 1e-3
+
+    with pytest.raises(ValueError, match="jac_starts"):
+        uno_tpu.solve(nlp, preset="ipopt", kkt_formulation="banded")

@@ -46,8 +46,11 @@ def fixed_bounds_to_constraints(nlp: NLP) -> NLP:
             else np.zeros(0, dtype=np.int64)
         w = max(st.jac_width, 1)
         starts = np.concatenate([old_starts, idx]).astype(np.int64)
+        # n - w can go negative when the declared window is wider than a
+        # tiny model; clamp to [0, max(n-w, 0)] so window columns stay in
+        # range (the window then simply covers the whole variable vector)
         st = NLPStructure(hess_bandwidth=st.hess_bandwidth,
-                          jac_starts=np.minimum(starts, nlp.n - w),
+                          jac_starts=np.clip(starts, 0, max(nlp.n - w, 0)),
                           jac_width=w, jac_col_limit=st.jac_col_limit)
     return NLP(
         name=nlp.name + "->no_fixed_bounds",
@@ -199,7 +202,10 @@ def permute_variables(nlp: NLP, perm) -> NLP:
         n_orig=nlp.num_original_variables,
         slack_of_constraint=nlp.slack_of_constraint,
         f_scale=nlp.f_scale, c_scale=nlp.c_scale,
-        structure=nlp.structure,
+        # a band/window declaration is in PRE-permutation coordinates;
+        # carrying it over would silently corrupt the banded extraction —
+        # callers declare fresh structure for the permuted ordering
+        structure=None,
     )
 
 

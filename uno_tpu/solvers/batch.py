@@ -76,15 +76,24 @@ def build_batch_ipm(nlp: NLP, opts: Options, params_example=None,
         s0 = canonicalize_state(make_initial_state(prob, ws, opts, x0=x0_full, params=params))
         return lax.while_loop(lambda s: s.status == RUNNING, step, s0)
 
-    return prob, _vmap_solver(solve_one, nlp.n, params_example, batch_last)
+    return prob, _vmap_solver(solve_one, nlp.n, params_example, batch_last,
+                              clock=getattr(step, "run_clock", None))
 
 
-def _vmap_solver(solve_one, n, params_example, batch_last):
+def _vmap_solver(solve_one, n, params_example, batch_last, clock=None):
     """vmap solve_one(x0, params) with the batch over the TRAILING axis of
     every leaf (see build_batch_ipm layout rationale); callers still pass and
     receive batch-first."""
     if not batch_last:
-        return jax.jit(jax.vmap(solve_one))
+        mapped_bf = jax.jit(jax.vmap(solve_one))
+        if clock is None:
+            return mapped_bf
+
+        def run_bf(x0_batch, params_batch=None):
+            clock.restart()
+            return mapped_bf(x0_batch, params_batch)
+
+        return run_bf
 
     x0_spec = jax.ShapeDtypeStruct((n,), jnp.float64)
     p_spec = None if params_example is None else jax.tree_util.tree_map(
@@ -97,6 +106,10 @@ def _vmap_solver(solve_one, n, params_example, batch_last):
     mapped = jax.jit(jax.vmap(solve_one, in_axes=in_axes, out_axes=out_axes))
 
     def run(x0_batch, params_batch=None):
+        if clock is not None:
+            # arm the in-loop wall-clock limit at dispatch (one shared host
+            # clock per batched run; see utils/timer.py)
+            clock.restart()
         x0_t = jnp.moveaxis(jnp.asarray(x0_batch), 0, -1)
         p_t = None if params_batch is None else jax.tree_util.tree_map(
             lambda a: jnp.moveaxis(jnp.asarray(a), 0, -1), params_batch)
@@ -132,7 +145,8 @@ def build_batch_sqp(nlp: NLP, opts: Options, params_example=None,
             make_init(prob, ws, opts, x0=x0, params=params))
         return lax.while_loop(lambda s: s.status == RUNNING, step, s0)
 
-    return prob, _vmap_solver(solve_one, nlp.n, params_example, batch_last)
+    return prob, _vmap_solver(solve_one, nlp.n, params_example, batch_last,
+                              clock=getattr(step, "run_clock", None))
 
 
 def solve_batch(nlp: NLP, opts: Optional[Options] = None, x0_batch=None,

@@ -1072,10 +1072,18 @@ def build_ipm(nlp: NLP, opts: Options, mesh=None):
         kkt_backend = make_lifted_kkt_backend(
             prob.n, ws.m, tau=opts.lifted_kkt_relaxation)
     elif opts.kkt_formulation == "banded" or (
-            opts.kkt_formulation == "auto" and prob.structure is not None):
+            opts.kkt_formulation == "auto" and prob.structure is not None
+            and (ws.m == 0 or prob.structure.jac_starts is not None)):
+        # 'auto' only routes here when the declaration is complete: a
+        # constrained model declaring hess_bandwidth but no jac_starts
+        # falls back to the dense augmented backend (explicit 'banded'
+        # still raises below — the user asked for it by name)
         if prob.structure is None:
             raise ValueError("kkt_formulation='banded' requires the model "
                              "to declare an NLPStructure")
+        if ws.m and prob.structure.jac_starts is None:
+            raise ValueError("kkt_formulation='banded' on a constrained "
+                             "model requires NLPStructure.jac_starts")
         from uno_tpu.linalg.banded_kkt import make_banded_kkt_backend
         slack_cols = prob.slack_of_constraint \
             if prob.slack_of_constraint is not None \
@@ -1087,11 +1095,29 @@ def build_ipm(nlp: NLP, opts: Options, mesh=None):
             slack_cols, prob.structure.hess_bandwidth,
             prob.structure.jac_width, tau=opts.lifted_kkt_relaxation)
     step = make_ipm_step(prob, ws, opts, kkt_backend=kkt_backend)
+    clock = None
+    if np.isfinite(opts.time_limit):
+        # in-loop wall-clock limit (reference checks the Timer every outer
+        # iteration, Uno.cpp:61-78): the fused while_loop polls the host
+        # clock through a pure_callback after each step; with the default
+        # time_limit=inf the HLO is unchanged
+        from uno_tpu.utils.timer import RunClock, wrap_step_with_time_limit
+        clock = RunClock()
+        step = wrap_step_with_time_limit(step, opts.time_limit, clock,
+                                         RUNNING, TIME_LIMIT)
 
     def run(state):
         return lax.while_loop(lambda s: s.status == RUNNING, step, state)
 
-    return prob, ws, step, jax.jit(run)
+    runj = jax.jit(run)
+    if clock is None:
+        return prob, ws, step, runj
+
+    def run_timed(state):
+        clock.restart()
+        return runj(state)
+
+    return prob, ws, step, run_timed
 
 
 def map_fixed_bound_duals(nlp_orig, y_full_scaled, zl, zu):
@@ -1124,7 +1150,7 @@ def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
     from uno_tpu.utils.logger import Logger, LEVELS
     verbose = LEVELS.index(opts.logger) >= LEVELS.index("INFO")
     timed = np.isfinite(opts.time_limit)
-    if callbacks is not None or history or verbose or timed:
+    if callbacks is not None or history or verbose:
         # step-by-step driver: one jitted outer iteration per Python loop
         # pass, enabling the reference-style statistics table (Uno.cpp:115-127)
         # and per-iterate user callbacks
@@ -1167,9 +1193,9 @@ def solve_ipm(nlp: NLP, opts: Options, callbacks=None, history=False) -> Result:
                 callbacks.notify_new_multipliers(
                     np.asarray(s.y)[: nlp.m] * cs[: nlp.m] / prob.f_scale
                     if nlp.m else np.zeros(0))
-            # wall-clock termination (reference Timer/time_limit, Uno.cpp:61):
-            # a traced while_loop cannot read the clock, so a finite
-            # time_limit routes through this stepwise driver
+            # wall-clock termination (reference Timer/time_limit, Uno.cpp:61);
+            # the fused path enforces the same limit in-loop via
+            # utils/timer.wrap_step_with_time_limit
             if timed and time.time() - t0 > opts.time_limit \
                     and int(s.status) == RUNNING:
                 s = s._replace(status=jnp.asarray(TIME_LIMIT))

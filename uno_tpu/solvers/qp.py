@@ -349,15 +349,20 @@ def build_qp_solver(struct: QPStructure, opts: Options,
                                      | ((primal_res > 1e-6) & (ynorm > 1e4)),
                                      QP_INFEASIBLE, QP_ERROR),
                            status)
-        # an early ERROR exit while primal feasibility was NEVER approached
-        # is the infeasibility signature of an IPM (the primal residual of a
+        # an ERROR exit while primal feasibility was NEVER approached is the
+        # infeasibility signature of an IPM (the primal residual of a
         # feasible QP is driven down by every Newton step regardless of
         # curvature trouble; staying far from feasibility until breakdown
         # means no feasible point exists).  min_pres is NaN-safe, and the
         # dual norm is NOT consulted: purification zeros the exploded
-        # dual-ray multipliers of an infeasible solve.
+        # dual-ray multipliers of an infeasible solve.  A minimum iteration
+        # count guards against a first-iterations breakdown (e.g. a
+        # regularization failure before any fraction-to-boundary step has
+        # had a chance to reduce ||Jd-s||) being mistaken for a certificate
+        # — an early breakdown stays ERROR and the outer loop treats it as
+        # such instead of spuriously entering feasibility restoration.
         status = jnp.where((status == QP_ERROR)
-                           & (min_pres > 1e-3 * bscale),
+                           & (min_pres > 1e-3 * bscale) & (it >= 5),
                            QP_INFEASIBLE, status)
         objective = g @ d + 0.5 * d @ (H @ d)
         return QPResult(d=d, y=y, zl=zl, zu=zu, status=status,

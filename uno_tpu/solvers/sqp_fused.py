@@ -1136,6 +1136,32 @@ def make_initial_byrd_state(nlp: NLP, ws: FusedSQPWorkspace, opts: Options,
     )
 
 
+def _finalize_fused(step, opts):
+    """Shared tail of the fused builders: optional in-loop wall-clock limit
+    (reference checks the Timer every outer iteration, Uno.cpp:61-78; with
+    the default time_limit=inf the HLO is unchanged) + the jitted
+    while_loop runner."""
+    clock = None
+    if np.isfinite(opts.time_limit):
+        from uno_tpu.utils.timer import RunClock, wrap_step_with_time_limit
+        clock = RunClock()
+        step = wrap_step_with_time_limit(step, opts.time_limit, clock,
+                                         RUNNING, 7)  # 7 = TIME_LIMIT
+
+    def run(state):
+        return lax.while_loop(lambda s: s.status == RUNNING, step, state)
+
+    runj = jax.jit(run)
+    if clock is None:
+        return step, runj
+
+    def run_timed(state):
+        clock.restart()
+        return runj(state)
+
+    return step, run_timed
+
+
 def build_byrd_fused(nlp: NLP, opts: Options):
     """Compile-time setup; returns (nlp_transformed, ws, step, jitted run)."""
     scaled = transforms.scale_model(nlp, opts.function_scaling_threshold) \
@@ -1143,11 +1169,8 @@ def build_byrd_fused(nlp: NLP, opts: Options):
     prob = transforms.fixed_bounds_to_constraints(scaled)
     ws = _build_workspace(prob)
     step = make_byrd_step(prob, ws, opts)
-
-    def run(state):
-        return lax.while_loop(lambda s: s.status == RUNNING, step, state)
-
-    return prob, ws, step, jax.jit(run)
+    step, run = _finalize_fused(step, opts)
+    return prob, ws, step, run
 
 
 def solve_byrd_fused(nlp: NLP, opts: Options, callbacks=None,
@@ -1251,11 +1274,8 @@ def build_sqp_fused(nlp: NLP, opts: Options):
     prob = transforms.fixed_bounds_to_constraints(scaled)
     ws = _build_workspace(prob)
     step = make_sqp_step(prob, ws, opts)
-
-    def run(state):
-        return lax.while_loop(lambda s: s.status == RUNNING, step, state)
-
-    return prob, ws, step, jax.jit(run)
+    step, run = _finalize_fused(step, opts)
+    return prob, ws, step, run
 
 
 def solve_sqp_fused(nlp: NLP, opts: Options, callbacks=None,
