@@ -435,3 +435,4 @@ from uno_tpu.model import library_hs2  # noqa: E402,F401  (isort: skip)
 from uno_tpu.model import library_cutest  # noqa: E402,F401  (isort: skip)
 from uno_tpu.model import library_mgh  # noqa: E402,F401  (isort: skip)
 from uno_tpu.model import library_nl  # noqa: E402,F401  (isort: skip)
+from uno_tpu.model import library_r4  # noqa: E402,F401  (isort: skip)
