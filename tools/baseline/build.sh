@@ -19,6 +19,7 @@ fi
 # SymmetricIndefiniteLinearSolverFactory.cpp.o archive member is never pulled in
 g++ -O2 -std=c++17 -I"$REF/uno" -I"$REF" \
     "$HERE/uno_baseline.cpp" \
+    "$HERE/../../uno_tpu/io/nlread.cpp" \
     "$BUILD/libuno.a" \
     -l:liblapack.so.3 -l:libblas.so.3 \
     -o "$OUT"

@@ -16,14 +16,18 @@
 // Run:   uno_baseline hs015 [preset=ipopt key=value ...]
 //        uno_baseline flagship_bench <n_instances> [key=value ...]
 
+#include <algorithm>
 #include <chrono>
 #include <cmath>
 #include <cstring>
+#include <filesystem>
 #include <iostream>
 #include <memory>
 #include <random>
 #include <string>
 #include <vector>
+
+#include "postfix_ad.hpp"
 
 #include "Uno.hpp"
 #include "ingredients/subproblem/Subproblem.hpp"
@@ -496,6 +500,126 @@ private:
 };
 
 // ---------------------------------------------------------------------------
+// .nl-file model: ASL replacement via the in-repo .nl parser + postfix AD
+// (postfix_ad.hpp).  Lets the REFERENCE driver sweep the same corpus the
+// TPU framework solves (round-4: reference-side parity denominator).
+// Mirrors the seam of bindings/AMPL/AMPLModel.cpp:19-80.
+// ---------------------------------------------------------------------------
+struct NLParsed {
+   std::string name;
+   size_t n, m;
+   std::vector<double> xl, xu, cl, cu, x0;
+   nlad::Prog obj;
+   std::vector<nlad::Prog> cons;
+   // linear parts (.nl J/G sections add to the nonlinear expressions)
+   std::vector<std::pair<size_t, double>> obj_lin;
+   std::vector<std::vector<std::pair<size_t, double>>> con_lin;
+};
+
+inline NLParsed parse_nl_file(const std::string& path) {
+   NLData* d = nl_parse(path.c_str());
+   if (d == nullptr) { throw std::runtime_error("nl_parse returned null"); }
+   std::string err(d->error);
+   if (!err.empty()) { nl_free(d); throw std::runtime_error("parse " + path + ": " + err); }
+   if (d->n_defined > 0) {
+      nl_free(d);
+      throw std::runtime_error(path + ": defined variables unsupported in baseline bridge");
+   }
+   if (d->objective_sense != 0) {
+      nl_free(d);
+      throw std::runtime_error(path + ": maximization unsupported in baseline bridge");
+   }
+   NLParsed out;
+   out.n = static_cast<size_t>(d->n_vars);
+   out.m = static_cast<size_t>(d->n_cons);
+   out.xl.assign(d->x_lb, d->x_lb + out.n);
+   out.xu.assign(d->x_ub, d->x_ub + out.n);
+   out.cl.assign(d->c_lb, d->c_lb + out.m);
+   out.cu.assign(d->c_ub, d->c_ub + out.m);
+   out.x0.assign(d->x0, d->x0 + out.n);
+   const int32_t o0 = d->obj_expr_off[0], o1 = d->obj_expr_off[1];
+   out.obj = nlad::decode(d->tok_op + o0, d->tok_num + o0, o1 - o0);
+   out.cons.resize(out.m);
+   out.con_lin.resize(out.m);
+   for (size_t j = 0; j < out.m; ++j) {
+      const int32_t c0 = d->con_expr_off[j], c1 = d->con_expr_off[j + 1];
+      out.cons[j] = nlad::decode(d->tok_op + c0, d->tok_num + c0, c1 - c0);
+   }
+   for (int32_t k = 0; k < d->jac_nnz; ++k) {
+      if (d->jac_val[k] != 0.0) {
+         out.con_lin[d->jac_row[k]].emplace_back(d->jac_col[k], d->jac_val[k]);
+      }
+   }
+   for (int32_t k = 0; k < d->grad_nnz; ++k) {
+      if (d->grad_val[k] != 0.0) {
+         out.obj_lin.emplace_back(d->grad_col[k], d->grad_val[k]);
+      }
+   }
+   nl_free(d);
+   return out;
+}
+
+class NLFileModel : public AnalyticModel {
+public:
+   explicit NLFileModel(NLParsed parsed)
+      : AnalyticModel(parsed.name, parsed.n, parsed.m, parsed.xl, parsed.xu,
+                      parsed.cl, parsed.cu, parsed.x0),
+        p_(std::move(parsed)) {}
+
+   [[nodiscard]] double evaluate_objective(const Vector<double>& x) const override {
+      nlad::forward(p_.obj, x.data(), -1);
+      double v = p_.obj.val[p_.obj.root];
+      for (const auto& [col, cv] : p_.obj_lin) { v += cv * x[col]; }
+      return v;
+   }
+   void evaluate_objective_gradient(const Vector<double>& x, Vector<double>& g) const override {
+      g.fill(0.0);
+      nlad::forward(p_.obj, x.data(), -1);
+      nlad::reverse(p_.obj, 1.0, g.data(), false, nullptr);
+      for (const auto& [col, cv] : p_.obj_lin) { g[col] += cv; }
+   }
+   void evaluate_constraints(const Vector<double>& x, std::vector<double>& c) const override {
+      for (size_t j = 0; j < p_.m; ++j) {
+         nlad::forward(p_.cons[j], x.data(), -1);
+         double v = p_.cons[j].val[p_.cons[j].root];
+         for (const auto& [col, cv] : p_.con_lin[j]) { v += cv * x[col]; }
+         c[j] = v;
+      }
+   }
+   void dense_jacobian(const Vector<double>& x, std::vector<std::vector<double>>& J) const override {
+      for (size_t j = 0; j < p_.m; ++j) {
+         nlad::forward(p_.cons[j], x.data(), -1);
+         nlad::reverse(p_.cons[j], 1.0, J[j].data(), false, nullptr);
+         for (const auto& [col, cv] : p_.con_lin[j]) { J[j][col] += cv; }
+      }
+   }
+   // H = ow * H_f - sum_j y_j H_{c_j} (ASL lagscale -1 convention) by
+   // forward-over-reverse Hessian-vector products over each expression's
+   // variable support (one tangent direction per column)
+   void dense_hessian(const Vector<double>& x, double ow, const Vector<double>& y,
+                      std::vector<std::vector<double>>& H) const override {
+      hv_.assign(p_.n, 0.0);
+      auto accumulate = [&](const nlad::Prog& prog, double weight) {
+         if (weight == 0.0) { return; }
+         for (const int32_t col : prog.vars) {
+            nlad::forward(prog, x.data(), col);
+            std::fill(hv_.begin(), hv_.end(), 0.0);
+            nlad::reverse(prog, weight, nullptr, true, hv_.data());
+            for (const int32_t row : prog.vars) {
+               H[row][col] += hv_[row];
+            }
+         }
+      };
+      accumulate(p_.obj, ow);
+      for (size_t j = 0; j < p_.m; ++j) { accumulate(p_.cons[j], -y[j]); }
+   }
+
+private:
+   NLParsed p_;
+   mutable std::vector<double> hv_;
+};
+
+// ---------------------------------------------------------------------------
 // driver
 // ---------------------------------------------------------------------------
 struct SolveOutcome {
@@ -542,6 +666,10 @@ int main(int argc, char* argv[]) {
       n_instances = static_cast<size_t>(std::stoul(argv[2]));
       arg_start = 3;
    }
+   if ((which == "nlfile" || which == "nlcheck" || which == "nlsweep")
+       && argc >= 3) {
+      arg_start = 3;   // argv[2] is a path, not a key=value option
+   }
 
    Options options = DefaultOptions::load();
    options.overwrite_with(DefaultOptions::determine_solvers());
@@ -570,6 +698,92 @@ int main(int argc, char* argv[]) {
                 << " iterations=" << out.iterations
                 << " objective=" << out.objective
                 << " time_s=" << out.time_s << "\n";
+      return 0;
+   }
+
+   if (which == "nlfile" && argc >= 3) {
+      // solve a single .nl file through the REFERENCE driver
+      auto model = std::make_unique<NLFileModel>(parse_nl_file(argv[2]));
+      const auto out = run_once(std::move(model), options, true);
+      std::cout << "RESULT problem=" << std::filesystem::path(argv[2]).stem().string()
+                << " status=" << static_cast<int>(out.status)
+                << " iterate_status=" << static_cast<int>(out.iterate_status)
+                << " iterations=" << out.iterations
+                << " objective=" << out.objective
+                << " time_s=" << out.time_s << "\n";
+      return 0;
+   }
+
+   if (which == "nlcheck" && argc >= 3) {
+      // print f/grad/c/J/H at x0 (for cross-validation against JAX)
+      NLParsed parsed = parse_nl_file(argv[2]);
+      NLFileModel model(parsed);
+      Vector<double> x(model.number_variables);
+      model.initial_primal_point(x);
+      std::cout.precision(17);
+      std::cout << "f " << model.evaluate_objective(x) << "\n";
+      Vector<double> g(model.number_variables);
+      model.evaluate_objective_gradient(x, g);
+      std::cout << "g";
+      for (size_t i = 0; i < model.number_variables; ++i) { std::cout << " " << g[i]; }
+      std::cout << "\n";
+      if (model.number_constraints > 0) {
+         std::vector<double> c(model.number_constraints);
+         model.evaluate_constraints(x, c);
+         std::cout << "c";
+         for (const double v : c) { std::cout << " " << v; }
+         std::cout << "\n";
+         std::vector<std::vector<double>> J(model.number_constraints,
+            std::vector<double>(model.number_variables, 0.0));
+         model.dense_jacobian(x, J);
+         for (size_t j = 0; j < model.number_constraints; ++j) {
+            std::cout << "J" << j;
+            for (const double v : J[j]) { std::cout << " " << v; }
+            std::cout << "\n";
+         }
+      }
+      std::vector<std::vector<double>> H(model.number_variables,
+         std::vector<double>(model.number_variables, 0.0));
+      Vector<double> y(std::max<size_t>(model.number_constraints, 1));
+      for (size_t j = 0; j < model.number_constraints; ++j) {
+         y[j] = 0.1 * static_cast<double>(j + 1);
+      }
+      model.dense_hessian(x, 1.0, y, H);
+      for (size_t i = 0; i < model.number_variables; ++i) {
+         std::cout << "H" << i;
+         for (const double v : H[i]) { std::cout << " " << v; }
+         std::cout << "\n";
+      }
+      return 0;
+   }
+
+   if (which == "nlsweep" && argc >= 3) {
+      // sweep every .nl file in a directory with the current options;
+      // one JSON line per problem (consumed by tools/refparity.py)
+      std::vector<std::filesystem::path> files;
+      for (const auto& entry : std::filesystem::directory_iterator(argv[2])) {
+         if (entry.path().extension() == ".nl") { files.push_back(entry.path()); }
+      }
+      std::sort(files.begin(), files.end());
+      for (const auto& file : files) {
+         std::string name = file.stem().string();
+         try {
+            auto model = std::make_unique<NLFileModel>(parse_nl_file(file.string()));
+            const auto out = run_once(std::move(model), options, false);
+            std::cout << "{\"name\": \"" << name << "\", \"status\": "
+                      << static_cast<int>(out.status)
+                      << ", \"iterate_status\": " << static_cast<int>(out.iterate_status)
+                      << ", \"iterations\": " << out.iterations
+                      << ", \"objective\": ";
+            if (std::isfinite(out.objective)) { std::cout << out.objective; }
+            else { std::cout << "null"; }
+            std::cout << ", \"time_s\": " << out.time_s << "}" << std::endl;
+         }
+         catch (const std::exception& e) {
+            std::cout << "{\"name\": \"" << name << "\", \"status\": -1, "
+                      << "\"error\": \"" << e.what() << "\"}" << std::endl;
+         }
+      }
       return 0;
    }
 

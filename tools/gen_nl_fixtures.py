@@ -62,8 +62,14 @@ class E:
     def __truediv__(self, o):
         return E(3, self, E._w(o))
 
+    def __rtruediv__(self, o):
+        return E(3, E._w(o), self)
+
     def __pow__(self, o):
         return E(5, self, E._w(o))
+
+    def __rpow__(self, o):
+        return E(5, E._w(o), self)
 
     def __neg__(self):
         return E(16, self)

@@ -118,13 +118,23 @@ _UNARY = {
     77: lambda a: a * a,
 }
 
+def _pow(a, b):
+    # concrete integral exponents take the exact integer-power path
+    # (repeated multiplication); XLA's float pow is exp(b log a) with ~1e-9
+    # relative error and NaN for negative bases — x^4 on x<0 must work
+    if isinstance(b, (int, float, np.integer, np.floating)) \
+            and float(b).is_integer() and abs(float(b)) <= 64:
+        return a ** int(b)
+    return a ** b
+
+
 _BINARY = {
     0: lambda a, b: a + b,
     1: lambda a, b: a - b,
     2: lambda a, b: a * b,
     3: lambda a, b: a / b,
     4: lambda a, b: a - jnp.trunc(a / b) * b,   # rem
-    5: lambda a, b: a ** b,
+    5: _pow,
     6: lambda a, b: jnp.maximum(a - b, 0.0),    # less
     48: lambda a, b: jnp.arctan2(a, b),
     55: lambda a, b: jnp.trunc(a / b),          # int div
