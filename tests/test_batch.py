@@ -122,3 +122,27 @@ def test_bucketed_matches_plain_batch():
     assert np.array_equal(np.asarray(fp.iteration), np.asarray(fb.iteration))
     np.testing.assert_allclose(np.asarray(fp.x), np.asarray(fb.x),
                                rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("preset_name", ["filtersqp", "byrd"])
+def test_bucketed_sqp_matches_plain_batch(preset_name):
+    """SQP-axis retirement (round-4): the bucketed fused-SQP driver must
+    reproduce the plain vmapped driver exactly — identical step program,
+    converged lanes merely compacted away between segments."""
+    from uno_tpu.solvers.batch import build_batch_sqp, build_bucketed_batch_sqp
+    nlp = batched_qp_nlp()
+    opts = preset(preset_name, scale_functions=False)
+    rng = np.random.default_rng(3)
+    B = 24
+    ab = jnp.asarray(rng.uniform(-2.0, 3.0, (B, 2)))
+    x0 = jnp.tile(jnp.asarray([0.5, 0.5]), (B, 1))
+
+    _, run_plain = build_batch_sqp(nlp, opts, params_example=ab[0])
+    _, run_buck = build_bucketed_batch_sqp(nlp, opts, params_example=ab[0],
+                                           segment=5, min_bucket=4)
+    fp = jax.block_until_ready(run_plain(x0, ab))
+    fb = jax.block_until_ready(run_buck(x0, ab))
+    assert np.array_equal(np.asarray(fp.status), np.asarray(fb.status))
+    assert np.array_equal(np.asarray(fp.iteration), np.asarray(fb.iteration))
+    np.testing.assert_allclose(np.asarray(fp.x), np.asarray(fb.x),
+                               rtol=0, atol=1e-12)

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Build REFPARITY_r04.json: side-by-side per-problem status of the ACTUAL
+reference binary (uno_baseline nlsweep over the emitted .nl corpus) vs
+uno_tpu's own sweep (round-4 verdict item 1 — the measured denominator for
+the BASELINE 'CUTEst solved count within 1% of Uno ipopt' row).
+
+Usage:
+  python tools/refparity.py <ref_sweep.jsonl> <our_sweep.json> \
+      <nl_manifest.json> [--out REFPARITY_r04.json] [--preset ipopt]
+
+ref_sweep.jsonl: one JSON object per line from `uno_baseline nlsweep`.
+our_sweep.json:  tools/sweep.py --out artifact (rows per preset).
+nl_manifest.json: the transcriber's manifest (per-problem f_star + status).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+RTOL = 1e-4   # reference CI tolerance (runtests_uno_ipopt_ma27.jl:70-75)
+
+# reference OptimizationStatus / IterateStatus (Result.hpp, IterateStatus.hpp)
+OPT_STATUS = {0: "success", 1: "iteration_limit", 2: "time_limit",
+              3: "evaluation_error", 4: "algorithmic_error", -1: "bridge_error"}
+IT_STATUS = {0: "not_optimal", 1: "feasible_kkt_point", 2: "feasible_fj_point",
+             3: "infeasible_stationary_point", 4: "feasible_small_step",
+             5: "infeasible_small_step", 6: "unbounded"}
+
+
+def main():
+    argv = sys.argv[1:]
+    out_file = "REFPARITY_r04.json"
+    preset = "ipopt"
+    if "--out" in argv:
+        i = argv.index("--out"); out_file = argv[i + 1]; del argv[i:i + 2]
+    if "--preset" in argv:
+        i = argv.index("--preset"); preset = argv[i + 1]; del argv[i:i + 2]
+    ref_path, ours_path, manifest_path = argv[:3]
+
+    ref = {}
+    with open(ref_path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            row = json.loads(line)
+            ref[row["name"]] = row
+
+    ours_doc = json.load(open(ours_path))
+    ours = {r["name"]: r for r in ours_doc["rows"][preset]}
+    manifest = json.load(open(manifest_path))["problems"]
+
+    rows = []
+    agree = 0
+    ref_solved = ours_solved = both = 0
+    for name, m in sorted(manifest.items()):
+        if m["status"] != "ok":
+            continue
+        r = ref.get(name)
+        o = ours.get(name)
+        if r is None or o is None:
+            continue
+        f_star = m.get("f_star")
+        # reference 'solved': SUCCESS + feasible KKT/small-step + objective
+        # at a known optimum when one is certified (same rule as
+        # tools/sweep.py applies to uno_tpu)
+        r_obj = r.get("objective")
+        r_ok = (r.get("status") == 0 and r.get("iterate_status") in (1, 4))
+        if r_ok and f_star is not None and r_obj is not None:
+            r_ok = abs(r_obj - f_star) / max(1.0, abs(f_star)) <= RTOL
+        elif r_ok and f_star is not None and r_obj is None:
+            r_ok = False
+        o_ok = bool(o["solved"])
+        ref_solved += r_ok
+        ours_solved += o_ok
+        both += r_ok and o_ok
+        agree += r_ok == o_ok
+        rows.append({
+            "name": name, "n": m.get("n"), "m": m.get("m"),
+            "f_star": f_star,
+            "ref_status": OPT_STATUS.get(r.get("status"), r.get("status")),
+            "ref_iterate_status": IT_STATUS.get(r.get("iterate_status")),
+            "ref_error": r.get("error"),
+            "ref_objective": r_obj,
+            "ref_iterations": r.get("iterations"),
+            "ref_solved": bool(r_ok),
+            "uno_tpu_status": o["status"],
+            "uno_tpu_objective": None if o["f"] != o["f"] else o["f"],
+            "uno_tpu_iterations": o["iters"],
+            "uno_tpu_solved": o_ok,
+        })
+
+    n = len(rows)
+    summary = {
+        "preset": preset,
+        "corpus": n,
+        "reference_solved": ref_solved,
+        "uno_tpu_solved": ours_solved,
+        "both_solved": both,
+        "status_agreement": agree,
+        "ref_minus_ours": ref_solved - ours_solved,
+        "within_1pct": abs(ref_solved - ours_solved) <= max(1, round(0.01 * n)),
+        "note": ("reference = /root/reference libuno (ipopt preset, LAPACK "
+                 "LDL^T behind the MA27/MA57 seam, postfix-AD .nl models "
+                 "replacing ASL); identical .nl corpus, identical solved "
+                 "rule: SUCCESS + feasible KKT/small-step + |f-f*| <= "
+                 "1e-4 rel when a certified optimum exists"),
+    }
+    disagreements = [r["name"] for r in rows
+                     if r["ref_solved"] != r["uno_tpu_solved"]]
+    json.dump({"summary": summary, "disagreements": disagreements,
+               "rows": rows},
+              open(out_file, "w"), indent=1)
+    print(json.dumps(summary, indent=1))
+    print("disagreements:", disagreements)
+
+
+if __name__ == "__main__":
+    main()
