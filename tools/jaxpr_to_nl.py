@@ -620,9 +620,28 @@ def main():
     rng = np.random.default_rng(0)
     manifest = {}
     ok = 0
+    import signal
+
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+    resume = "--no-resume" not in sys.argv
     for name in names:
         path = os.path.join(outdir, f"{name}.nl")
+        if resume and os.path.exists(path):
+            nlp = get_problem(name)
+            manifest[name] = {"status": "ok", "n": nlp.n, "m": nlp.m,
+                              "f_star": known_optimum(name)}
+            ok += 1
+            continue
         try:
+            # large dense problems (e.g. n=1000 all-pairs residuals) build
+            # O(n^2) expression trees; bound the per-problem cost
+            signal.alarm(240)
             nlp = get_problem(name)
             nlp_to_nl(nlp, path)
             verify_roundtrip(nlp, path, rng)
@@ -634,11 +653,18 @@ def main():
             manifest[name] = {"status": "unsupported", "reason": str(exc)}
             if os.path.exists(path):
                 os.remove(path)
+        except _Timeout:
+            manifest[name] = {"status": "timeout",
+                              "reason": "expression build > 240 s"}
+            if os.path.exists(path):
+                os.remove(path)
         except Exception as exc:  # noqa: BLE001 — record and continue
             manifest[name] = {"status": "error",
                               "reason": f"{type(exc).__name__}: {exc}"}
             if os.path.exists(path):
                 os.remove(path)
+        finally:
+            signal.alarm(0)
         print(f"{name}: {manifest[name]['status']}"
               + ("" if manifest[name]["status"] == "ok"
                  else f" ({manifest[name].get('reason', '')[:90]})"),

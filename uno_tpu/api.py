@@ -29,6 +29,24 @@ def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = N
     elif overrides:
         options = options.replace(**overrides)
 
+    if options.auto_permute and nlp.structure is None:
+        # RCM structure detection (round-4): probe sparsity, permute for
+        # bandwidth, declare NLPStructure so 'auto' KKT routing can take
+        # the banded backend; results are mapped back to the original
+        # variable order below
+        from uno_tpu.model import transforms as _tf
+        import numpy as _np
+        permuted, perm = _tf.detect_structure(nlp)
+        if perm is not None:
+            res = solve(permuted, options=options.replace(auto_permute=False),
+                        callbacks=callbacks, history=history)
+            pos = _np.empty(nlp.n, dtype=_np.int64)
+            pos[perm] = _np.arange(nlp.n)
+            import dataclasses as _dc
+            return _dc.replace(res, x=_np.asarray(res.x)[pos],
+                               zl=_np.asarray(res.zl)[pos],
+                               zu=_np.asarray(res.zu)[pos])
+
     if options.inequality_handling_method == "primal_dual_interior_point":
         if options.globalization_mechanism == "TR":
             # reference: PrimalDualInteriorPointMethod.cpp:117-119

@@ -152,6 +152,12 @@ class Options:
     # structured block-tridiagonal Cholesky (requires NLP.structure) |
     # "auto" = banded when the model declares structure, else augmented
     kkt_formulation: str = "auto"
+    # automatic RCM bandwidth-reduction over the DETECTED Hessian/Jacobian
+    # sparsity (transforms.detect_structure): structured models need not
+    # hand-declare NLPStructure; falls back to dense when the pattern
+    # stays wide (irregular coupling) — round-4 analogue of MA57's
+    # symbolic analysis (MA57Solver.cpp:40-90)
+    auto_permute: bool = False
     # SQP driver: "fused" = single lax.while_loop state machine (jittable,
     # vmappable — solvers/sqp_fused.py); "host" = Python outer loop with
     # jitted kernels (solvers/sqp.py); "auto" = fused for the TR +
