@@ -76,8 +76,11 @@ RTOL = 1e-4
 
 # first-order points that are legitimate for a local solver but are not in
 # the registry's optima lists get counted separately
-MAX_ITER = {"ipopt": 2000, "filtersqp": 500, "funnelsqp": 500,
-            "byrd": 500, "filterslp": 500}
+# the reference's default max_iterations is 2000 for EVERY preset
+# (DefaultOptions.cpp:21; presets never override it) — sweeping SQP tiers
+# at 500 was a round-3 deviation that cost filterslp its slow linear tail
+MAX_ITER = {"ipopt": 2000, "filtersqp": 2000, "funnelsqp": 2000,
+            "byrd": 2000, "filterslp": 2000}
 
 
 def run_preset(preset, names, sqp_cap=150, max_n=None, min_n=None, flush=None):
