@@ -27,10 +27,19 @@
 #include <string>
 #include <vector>
 
+#include "ipqp.hpp"
 #include "postfix_ad.hpp"
 
 #include "Uno.hpp"
+#include "ingredients/hessian_models/HessianModel.hpp"
+#include "ingredients/regularization_strategies/RegularizationStrategy.hpp"
+#include "optimization/OptimizationProblem.hpp"
 #include "ingredients/subproblem/Subproblem.hpp"
+#include "ingredients/subproblem_solvers/LPSolver.hpp"
+#include "ingredients/subproblem_solvers/LPSolverFactory.hpp"
+#include "ingredients/subproblem_solvers/QPSolver.hpp"
+#include "ingredients/subproblem_solvers/QPSolverFactory.hpp"
+#include "optimization/Multipliers.hpp"
 #include "ingredients/subproblem_solvers/DirectSymmetricIndefiniteLinearSolver.hpp"
 #include "ingredients/subproblem_solvers/SymmetricIndefiniteLinearSolverFactory.hpp"
 #include "linear_algebra/COOFormat.hpp"
@@ -204,6 +213,131 @@ private:
       if (this->n_zero > 0) { this->singular = true; }
    }
 };
+
+// ---------------------------------------------------------------------------
+// IP-QP/LP solver behind the reference QPSolver/LPSolver seam (stands in
+// for BQPD/HiGHS, which do not exist in this container); algorithm in
+// ipqp.hpp mirrors uno_tpu/solvers/qp.py.  Lets the reference driver run
+// its SQP presets (filtersqp/funnelsqp/byrd/filterslp) on the .nl corpus.
+// ---------------------------------------------------------------------------
+class IPQPSolver : public QPSolver {
+public:
+   IPQPSolver() = default;
+
+   void initialize_memory(const OptimizationProblem& problem, const HessianModel& hessian_model,
+         const RegularizationStrategy<double>& regularization_strategy) override {
+      const size_t n = problem.number_variables;
+      const size_t m = problem.number_constraints;
+      this->n = n; this->m = m;
+      this->g.resize(n);
+      this->H.assign(n * n, 0.0);
+      this->Jd.assign(m * n, 0.0);
+      this->dl.resize(n); this->du.resize(n);
+      this->rl.resize(m); this->ru.resize(m);
+      this->constraints.resize(m);
+      this->constraint_jacobian.resize(m, n);
+      const size_t number_hessian_nonzeros = problem.number_hessian_nonzeros(hessian_model);
+      const size_t regularization_size = (!hessian_model.is_positive_definite() &&
+         regularization_strategy.performs_primal_regularization()) ? problem.get_number_original_variables() : 0;
+      this->has_curvature = 0 < number_hessian_nonzeros + regularization_size;
+      if (this->has_curvature) {
+         this->hessian = SparseSymmetricMatrix<COOFormat<size_t, double>>(
+            n, number_hessian_nonzeros, regularization_size);
+      }
+      this->out_d.resize(n); this->out_y.resize(std::max<size_t>(m, 1));
+      this->out_zl.resize(n); this->out_zu.resize(n);
+   }
+
+   void solve(Statistics& statistics, Subproblem& subproblem, const Vector<double>& /*initial_point*/,
+         Direction& direction, const WarmstartInformation& /*warmstart_information*/) override {
+      const int ni = static_cast<int>(this->n), mi = static_cast<int>(this->m);
+      // evaluate everything fresh each solve (an IP method has no
+      // active-set warmstart economics to protect)
+      subproblem.evaluate_objective_gradient(this->g);
+      subproblem.evaluate_constraints(this->constraints);
+      subproblem.evaluate_jacobian(this->constraint_jacobian);
+      std::fill(this->Jd.begin(), this->Jd.end(), 0.0);
+      for (size_t j = 0; j < this->m; ++j) {
+         for (const auto [i, value] : this->constraint_jacobian[j]) {
+            this->Jd[j * this->n + i] = value;
+         }
+      }
+      std::fill(this->H.begin(), this->H.end(), 0.0);
+      if (this->has_curvature) {
+         this->hessian.reset();
+         subproblem.compute_regularized_hessian(statistics, this->hessian);
+         for (const auto [row, col, value] : this->hessian) {
+            this->H[row * this->n + col] += value;
+            if (row != col) { this->H[col * this->n + row] += value; }
+         }
+      }
+      std::vector<double> vlb(this->n), vub(this->n);
+      subproblem.set_variables_bounds(vlb, vub);
+      for (size_t i = 0; i < this->n; ++i) {
+         this->dl[i] = std::max(-ipqp::HUGE_BOUND, vlb[i]);
+         this->du[i] = std::min(ipqp::HUGE_BOUND, vub[i]);
+      }
+      subproblem.set_constraints_bounds(this->rl, this->ru, this->constraints);
+      for (size_t j = 0; j < this->m; ++j) {
+         this->rl[j] = std::max(-ipqp::HUGE_BOUND, this->rl[j]);
+         this->ru[j] = std::min(ipqp::HUGE_BOUND, this->ru[j]);
+      }
+
+      const ipqp::Result res = ipqp::solve(this->workspace, ni, mi,
+         this->g.data(), this->H.data(), this->Jd.data(),
+         this->rl.data(), this->ru.data(), this->dl.data(), this->du.data(),
+         this->out_d.data(), this->out_y.data(), this->out_zl.data(),
+         this->out_zu.data());
+
+      direction.multipliers.reset();
+      for (size_t i = 0; i < this->n; ++i) {
+         direction.primals[i] = std::min(std::max(this->out_d[i], this->dl[i]), this->du[i]);
+         direction.multipliers.lower_bounds[i] = this->out_zl[i];
+         direction.multipliers.upper_bounds[i] = this->out_zu[i];
+      }
+      for (size_t j = 0; j < this->m; ++j) {
+         direction.multipliers.constraints[j] = this->out_y[j];
+      }
+      direction.subproblem_objective = res.objective;
+      switch (res.status) {
+         case ipqp::Status::OPTIMAL: direction.status = SubproblemStatus::OPTIMAL; break;
+         case ipqp::Status::INFEASIBLE: direction.status = SubproblemStatus::INFEASIBLE; break;
+         case ipqp::Status::UNBOUNDED: direction.status = SubproblemStatus::UNBOUNDED_PROBLEM; break;
+         default: direction.status = SubproblemStatus::ERROR; break;
+      }
+   }
+
+   [[nodiscard]] double hessian_quadratic_product(const Vector<double>& vector) const override {
+      double acc = 0.0;
+      for (size_t i = 0; i < this->n; ++i) {
+         double hv = 0.0;
+         for (size_t k = 0; k < this->n; ++k) { hv += this->H[i * this->n + k] * vector[k]; }
+         acc += vector[i] * hv;
+      }
+      return acc;
+   }
+
+private:
+   size_t n{0}, m{0};
+   bool has_curvature{false};
+   Vector<double> g;
+   std::vector<double> H, Jd, dl, du, rl, ru;
+   std::vector<double> constraints;
+   RectangularMatrix<double> constraint_jacobian;
+   SparseSymmetricMatrix<COOFormat<size_t, double>> hessian{};
+   std::vector<double> out_d, out_y, out_zl, out_zu;
+   ipqp::Workspace workspace;
+};
+
+// factory overrides (linked before libuno.a, same trick as the linear
+// solver below): any QP_solver/LP_solver name resolves to the IP-QP
+std::unique_ptr<QPSolver> QPSolverFactory::create(const Options& /*options*/) {
+   return std::make_unique<IPQPSolver>();
+}
+
+std::unique_ptr<LPSolver> LPSolverFactory::create(const Options& /*options*/) {
+   return std::make_unique<IPQPSolver>();
+}
 
 // my factory replaces the reference's (same symbols, defined here and linked
 // before libuno.a so its SymmetricIndefiniteLinearSolverFactory.cpp.o member
@@ -784,6 +918,43 @@ int main(int argc, char* argv[]) {
                       << "\"error\": \"" << e.what() << "\"}" << std::endl;
          }
       }
+      return 0;
+   }
+
+   if (which == "qptest") {
+      // standalone IP-QP kernel probes with known solutions
+      auto runqp = [&](int n, int m, std::vector<double> g, std::vector<double> H,
+                       std::vector<double> J, std::vector<double> rl, std::vector<double> ru,
+                       std::vector<double> dl, std::vector<double> du) {
+         ipqp::Workspace W;
+         std::vector<double> d(n), y(std::max(m, 1)), zl(n), zu(n);
+         const auto res = ipqp::solve(W, n, m, g.data(), H.data(), J.data(),
+            rl.data(), ru.data(), dl.data(), du.data(),
+            d.data(), y.data(), zl.data(), zu.data());
+         std::cout.precision(12);
+         std::cout << "status=" << static_cast<int>(res.status)
+                   << " it=" << res.iterations << " obj=" << res.objective << "\nd:";
+         for (double v : d) { std::cout << " " << v; }
+         std::cout << "\ny:";
+         for (int j = 0; j < m; ++j) { std::cout << " " << y[j]; }
+         std::cout << "\nzl:";
+         for (double v : zl) { std::cout << " " << v; }
+         std::cout << "\nzu:";
+         for (double v : zu) { std::cout << " " << v; }
+         std::cout << "\n";
+      };
+      const double NB = 1e30;
+      std::cout << "-- QP1: min -d1 + 0.5(d1^2+d2^2), d1+d2 <= 1, d >= 0 (d*=(1,0))\n";
+      runqp(2, 1, {-1, 0}, {1, 0, 0, 1}, {1, 1}, {-NB}, {1}, {0, 0}, {NB, NB});
+      std::cout << "-- QP2: min g'd + 0.5 d'Hd free (Newton step)\n";
+      runqp(2, 0, {1, -2}, {2, 0, 0, 4}, {}, {}, {}, {-NB, -NB}, {NB, NB});
+      std::cout << "-- QP3: equality d1+d2 = 1, min 0.5||d||^2 (d*=(0.5,0.5), y=0.5)\n";
+      runqp(2, 1, {0, 0}, {1, 0, 0, 1}, {1, 1}, {1}, {1}, {-NB, -NB}, {NB, NB});
+      std::cout << "-- QP4: infeasible: d <= -1 and d >= 1 rows\n";
+      runqp(1, 2, {0}, {1}, {1, 1}, {-NB, 1}, {-1, NB}, {-NB}, {NB});
+      std::cout << "-- QP5: nonconvex H with TR box (convexified)\n";
+      runqp(2, 0, {1, 1}, {-2, 0, 0, -2}, {}, {}, {}, {-1, -1}, {1, 1});
+      std::cout << "-- QP6: hs015-at-opt: quadratic model at x*, small TR\n";
       return 0;
    }
 
