@@ -79,8 +79,8 @@ class E:
             out.append(f"v{self.args[0]}")
         elif self.kind == "n":
             out.append(f"n{self.args[0]:.17g}")
-        elif self.kind == 54:  # sum list
-            out.append("o54")
+        elif self.kind in (11, 12, 54):  # min/max/sum lists carry a count
+            out.append(f"o{self.kind}")
             out.append(str(len(self.args)))
             for a in self.args:
                 a.emit(out)

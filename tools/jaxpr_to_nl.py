@@ -184,6 +184,40 @@ def _reduce_sum(eqn, a):
     return out.reshape(tuple(ksh)) if ksh else out.reshape(())[()]
 
 
+def _prod_tree(terms):
+    # balanced o2 tree keeps emit/vars recursion depth at log n
+    terms = list(terms)
+    while len(terms) > 1:
+        nxt = []
+        for k in range(0, len(terms) - 1, 2):
+            nxt.append(terms[k] * terms[k + 1])
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def _reduce_prod(eqn, a):
+    axes = eqn.params["axes"]
+    if not _is_obj(a):
+        return np.prod(np.asarray(a), axis=axes)
+    if tuple(axes) != tuple(range(np.ndim(a))):
+        raise Unsupported("partial reduce_prod")
+    flat = a.reshape(-1)
+    es = [t for t in flat]
+    const = 1.0
+    terms = []
+    for t in es:
+        if isinstance(t, E):
+            terms.append(t)
+        else:
+            const *= float(t)
+    if not terms:
+        return np.float64(const)
+    tree = _prod_tree([_w(t) for t in terms])
+    return tree * const if const != 1.0 else tree
+
+
 def _binop(fn):
     def impl(eqn, a, b):
         return fn(a, b)
@@ -322,6 +356,7 @@ PRIMS = {
         lambda v: 1.0 / np.sqrt(v), lambda e: 1.0 / _sqrt(e), a),
     "integer_pow": _integer_pow,
     "reduce_sum": _reduce_sum,
+    "reduce_prod": lambda eqn, a: _reduce_prod(eqn, a),
     "dot_general": _dot_general,
     "broadcast_in_dim": lambda eqn, a: np.broadcast_to(
         np.reshape(a, [d if i in eqn.params["broadcast_dimensions"] else 1
@@ -353,6 +388,7 @@ PRIMS = {
     "lt": _cmp(22),
     "ne": _cmp(30),
     "rem": _maxmin(np.fmod, 4),  # truncated remainder; o4 in ASL
+    "atan2": _maxmin(np.arctan2, 48),
     "and": _maxmin(np.logical_and, 21),
     "or": _maxmin(np.logical_or, 20),
     "not": lambda eqn, a: _map_unary(np.logical_not, _un(34), a),
@@ -410,12 +446,23 @@ def _gather(eqn, a, idx):
     if _is_obj(idx):
         raise Unsupported("gather with traced indices")
     d = eqn.params["dimension_numbers"]
-    if (np.ndim(a) == 1 and d.offset_dims == () and
-            d.collapsed_slice_dims == (0,) and d.start_index_map == (0,)):
-        flat_idx = np.asarray(idx, dtype=np.int64).reshape(-1)
-        out = np.asarray(a, dtype=object)[flat_idx] if _is_obj(a) \
-            else np.asarray(a)[flat_idx]
-        batch_shape = np.shape(idx)[:-1]
+    r = np.ndim(a)
+    # element gather: every operand dim is collapsed and indexed --
+    # covers x[idx] (1-D) and A[i_k, j_k] (n-D pointwise selection)
+    if (d.offset_dims == () and
+            d.collapsed_slice_dims == tuple(range(r)) and
+            d.start_index_map == tuple(range(r))):
+        ia = np.asarray(idx, dtype=np.int64)
+        batch_shape = ia.shape[:-1]
+        flat = ia.reshape(-1, ia.shape[-1])
+        base = np.asarray(a, dtype=object) if _is_obj(a) else np.asarray(a)
+        picks = [base[tuple(row)] for row in flat]
+        if any(isinstance(p, E) for p in picks):
+            out = np.empty(len(picks), dtype=object)
+            for k, p in enumerate(picks):
+                out[k] = p
+        else:
+            out = np.asarray(picks, dtype=np.float64)
         return out.reshape(batch_shape)
     raise Unsupported("gather pattern")
 

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Real multi-PROCESS mesh evidence (round-4 verdict item 8): run the
+sharded-batch IPM and the distributed-KKT IPM on a 2-process x 4-device
+jax.distributed CPU mesh, exercising the cross-process collective path
+(DCN analogue) rather than single-process virtual devices only.
+
+Usage:
+  python tools/multiproc_mesh.py            # spawns 2 workers, writes
+                                            # MULTICHIP_r04.json
+  python tools/multiproc_mesh.py --worker I --port P   (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_PROC = 2
+DEV_PER_PROC = 4
+
+
+def worker(idx: int, port: int):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count={DEV_PER_PROC}").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=N_PROC, process_id=idx)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import uno_tpu  # noqa: F401
+    from uno_tpu.options import preset
+    from uno_tpu.model import transforms
+    from uno_tpu.solvers.ipm import (_build_workspace, build_ipm,
+                                     canonicalize_state, make_initial_state,
+                                     make_ipm_step)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ""))
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "graft", os.path.join(os.path.dirname(__file__), "..",
+                              "__graft_entry__.py"))
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+
+    assert jax.process_count() == N_PROC
+    devs = jax.devices()
+    assert len(devs) == N_PROC * DEV_PER_PROC, len(devs)
+    report = {"n_processes": jax.process_count(),
+              "n_devices": len(devs),
+              "process_id": jax.process_index()}
+
+    opts = preset("ipopt", scale_functions=False)
+    batch = 2 * len(devs)
+    nlp, x0, params = graft._flagship(batch)
+    prob = transforms.reformulate_for_interior_point(nlp, opts.tolerance)
+    ws = _build_workspace(prob)
+    step = make_ipm_step(prob, ws, opts)
+    n_slack = prob.n - nlp.n
+
+    mesh = Mesh(np.asarray(devs), ("batch",))
+    shard = NamedSharding(mesh, P("batch"))
+
+    def make_global(arr):
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, NamedSharding(mesh, P("batch")),
+            lambda idx: arr[idx])
+
+    x0_s = make_global(x0)
+    p_s = make_global(params)
+
+    def init_one(x0_i, p_i):
+        x0_full = jnp.concatenate([x0_i, jnp.zeros((n_slack,))])
+        return make_initial_state(prob, ws, opts, x0=x0_full, params=p_i)
+
+    @jax.jit
+    def run_all(x0_b, p_b):
+        state = jax.vmap(init_one)(x0_b, p_b)
+
+        def solve_one(s):
+            return lax.while_loop(lambda t: t.status == 0, step, s)
+        final = jax.vmap(solve_one)(state)
+        # cross-process reduction: replicated scalars come back addressable
+        solved = jnp.sum((final.status == 1) | (final.status == 2))
+        mean_iters = jnp.mean(final.iteration.astype(jnp.float64))
+        return solved, mean_iters
+
+    t0 = time.time()
+    solved, mean_iters = jax.block_until_ready(run_all(x0_s, p_s))
+    report["sharded_batch"] = {
+        "batch": batch, "solved": int(solved),
+        "mean_iterations": round(float(mean_iters), 2),
+        "wall_s": round(time.time() - t0, 1),
+        "ok": int(solved) == batch}
+
+    # distributed-KKT IPM over the full 2-process mesh (parallel/dist_ldlt
+    # shard_map; collectives cross the process boundary)
+    kkt_mesh = Mesh(np.asarray(devs), ("kkt",))
+    opts_d = preset("ipopt", scale_functions=False,
+                    ldlt_backend="distributed", max_iterations=30)
+    prob_d, ws_d, step_d, run_d = build_ipm(nlp, opts_d, mesh=kkt_mesh)
+    s0 = canonicalize_state(make_initial_state(prob_d, ws_d, opts_d,
+                                               params=jnp.asarray(params[0])))
+    t0 = time.time()
+    s1 = jax.block_until_ready(run_d(s0))
+    report["distributed_kkt"] = {
+        "status": int(s1.status), "iterations": int(s1.iteration),
+        "wall_s": round(time.time() - t0, 1),
+        "ok": int(s1.status) in (1, 2)}
+
+    if jax.process_index() == 0:
+        out = {"ok": report["sharded_batch"]["ok"]
+               and report["distributed_kkt"]["ok"],
+               "skipped": False,
+               "n_processes": N_PROC,
+               "devices_per_process": DEV_PER_PROC,
+               "note": ("2-process jax.distributed CPU mesh: sharded batch "
+                        "and distributed-KKT IPM run to convergence with "
+                        "cross-process collectives (round-4 item 8)"),
+               **report}
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "MULTICHIP_r04.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    print(f"worker {idx}: {json.dumps(report)}", flush=True)
+
+
+def main():
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        idx = int(sys.argv[i + 1])
+        p = sys.argv.index("--port")
+        worker(idx, int(sys.argv[p + 1]))
+        return
+    port = 58647
+    procs = [subprocess.Popen([sys.executable, __file__, "--worker", str(i),
+                               "--port", str(port)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(N_PROC)]
+    rc = 0
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=3000)
+        print(f"--- worker {i} (rc={p.returncode}) ---")
+        print(out[-2500:])
+        rc |= p.returncode
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
