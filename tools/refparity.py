@@ -4,9 +4,12 @@ reference binary (uno_baseline nlsweep over the emitted .nl corpus) vs
 uno_tpu's own sweep (round-4 verdict item 1 — the measured denominator for
 the BASELINE 'CUTEst solved count within 1% of Uno ipopt' row).
 
-Usage:
+Usage (single preset):
   python tools/refparity.py <ref_sweep.jsonl> <our_sweep.json> \
       <nl_manifest.json> [--out REFPARITY_r04.json] [--preset ipopt]
+Usage (all presets):
+  python tools/refparity.py --multi <refsweep_dir> <our_ipopt.json> \
+      <our_sqp.json> <nl_manifest.json> [--out REFPARITY_r04.json]
 
 ref_sweep.jsonl: one JSON object per line from `uno_baseline nlsweep`.
 our_sweep.json:  tools/sweep.py --out artifact (rows per preset).
@@ -28,28 +31,19 @@ IT_STATUS = {0: "not_optimal", 1: "feasible_kkt_point", 2: "feasible_fj_point",
              5: "infeasible_small_step", 6: "unbounded"}
 
 
-def main():
-    argv = sys.argv[1:]
-    out_file = "REFPARITY_r04.json"
-    preset = "ipopt"
-    if "--out" in argv:
-        i = argv.index("--out"); out_file = argv[i + 1]; del argv[i:i + 2]
-    if "--preset" in argv:
-        i = argv.index("--preset"); preset = argv[i + 1]; del argv[i:i + 2]
-    ref_path, ours_path, manifest_path = argv[:3]
-
+def load_ref(path):
     ref = {}
-    with open(ref_path) as fh:
+    with open(path) as fh:
         for line in fh:
             line = line.strip()
             if not line:
                 continue
             row = json.loads(line)
             ref[row["name"]] = row
+    return ref
 
-    ours_doc = json.load(open(ours_path))
-    ours = {r["name"]: r for r in ours_doc["rows"][preset]}
-    manifest = json.load(open(manifest_path))["problems"]
+
+def compare(preset, ref, ours, manifest):
 
     rows = []
     agree = 0
@@ -94,6 +88,8 @@ def main():
     n = len(rows)
     summary = {
         "preset": preset,
+        "ref_size_cap": ("n+m<=150 (same cap tools/sweep.py applies to SQP "
+                         "tiers)" if preset != "ipopt" else None),
         "corpus": n,
         "reference_solved": ref_solved,
         "uno_tpu_solved": ours_solved,
@@ -109,6 +105,49 @@ def main():
     }
     disagreements = [r["name"] for r in rows
                      if r["ref_solved"] != r["uno_tpu_solved"]]
+    return summary, disagreements, rows
+
+
+def main():
+    import os
+    argv = sys.argv[1:]
+    out_file = "REFPARITY_r04.json"
+    if "--out" in argv:
+        i = argv.index("--out"); out_file = argv[i + 1]; del argv[i:i + 2]
+    if "--multi" in argv:
+        argv.remove("--multi")
+        ref_dir, ours_ipopt, ours_sqp, manifest_path = argv[:4]
+        manifest = json.load(open(manifest_path))["problems"]
+        doc_ip = json.load(open(ours_ipopt))
+        doc_sqp = json.load(open(ours_sqp))
+        out = {"presets": {}, "rows": {}, "disagreements": {}}
+        for preset in ("ipopt", "filtersqp", "funnelsqp", "byrd",
+                       "filterslp"):
+            ref_path = os.path.join(ref_dir, f"{preset}.jsonl")
+            if not os.path.exists(ref_path):
+                continue
+            ours_doc = doc_ip if preset == "ipopt" else doc_sqp
+            if preset not in ours_doc["rows"]:
+                continue
+            ours = {r["name"]: r for r in ours_doc["rows"][preset]}
+            summary, disagreements, rows = compare(
+                preset, load_ref(ref_path), ours, manifest)
+            out["presets"][preset] = summary
+            out["disagreements"][preset] = disagreements
+            out["rows"][preset] = rows
+            print(json.dumps(summary, indent=1))
+        json.dump(out, open(out_file, "w"), indent=1)
+        return
+
+    preset = "ipopt"
+    if "--preset" in argv:
+        i = argv.index("--preset"); preset = argv[i + 1]; del argv[i:i + 2]
+    ref_path, ours_path, manifest_path = argv[:3]
+    ours_doc = json.load(open(ours_path))
+    manifest = json.load(open(manifest_path))["problems"]
+    ours = {r["name"]: r for r in ours_doc["rows"][preset]}
+    summary, disagreements, rows = compare(preset, load_ref(ref_path),
+                                           ours, manifest)
     json.dump({"summary": summary, "disagreements": disagreements,
                "rows": rows},
               open(out_file, "w"), indent=1)
