@@ -137,6 +137,7 @@ def main():
         return default
 
     sl = popopt("--slice")
+    names_opt = popopt("--names")
     out_file = popopt("--out")
     max_n = popopt("--max-n")
     max_n = int(max_n) if max_n else None
@@ -146,6 +147,9 @@ def main():
     if sl:
         start, stop = sl.split(":")
         names = names[int(start):int(stop)]
+    if names_opt:
+        wanted = names_opt.split(",")
+        names = [n for n in names if n in wanted]
     presets = argv or list(PRESETS)
     summary = {}
     all_rows = {}

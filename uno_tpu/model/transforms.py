@@ -143,6 +143,15 @@ def scale_model(nlp: NLP, threshold: float = 100.0) -> NLP:
     g = np.asarray(nlp.objective_gradient(x0))
     gnorm = np.max(np.abs(g)) if g.size else 0.0
     s_f = min(1.0, threshold / gnorm) if gnorm > 0 else 1.0
+    # scaling floor (round-4, PARITY deviation 11): an extreme initial
+    # gradient (||grad f|| ~ 1e11 on vardim/dqrtic/zakharov at n >= 100)
+    # would scale the objective by ~1e-9 and let the SCALED KKT test fire
+    # orders of magnitude away from the optimum.  The reference snapshot
+    # dodges this accidentally: Presets.cpp:61 sets scale_functions=yes but
+    # ModelFactory::reformulate never wires ScaledModel in, so its shipped
+    # behavior is UNSCALED.  We keep scaling wired (the documented intent)
+    # and floor s_f so the test never loosens by more than 4 orders.
+    s_f = max(s_f, 1e-4)
     if nlp.m > 0:
         J = np.asarray(nlp.constraint_jacobian(x0))
         jn = np.max(np.abs(J), axis=1)
