@@ -961,19 +961,22 @@ int main(int argc, char* argv[]) {
    if (which == "flagship_bench") {
       // sequential single-core solves over the same randomized family the TPU
       // bench uses (__graft_entry__._flagship with rng seed 0): a MEASURED
-      // single-core Uno solves/s figure for BASELINE.md
+      // single-core Uno solves/s figure for BASELINE.md.  vars=N (default 8)
+      // gives the mid-size (n=128...) baseline the n-throughput curve needs.
+      const size_t nvars = static_cast<size_t>(
+         options.get_string_optional("vars") ? std::stoul(*options.get_string_optional("vars")) : 8);
       std::mt19937_64 rng(0);
       std::uniform_real_distribution<double> dist(-0.5, 1.0);
       size_t solved = 0, total_iters = 0;
       // warmup instance (excluded from timing)
       {
-         std::vector<double> a(8);
+         std::vector<double> a(nvars);
          for (auto& v : a) { v = dist(rng); }
          run_once(std::make_unique<Flagship>(a), options, false);
       }
       const auto t0 = std::chrono::steady_clock::now();
       for (size_t inst = 0; inst < n_instances; ++inst) {
-         std::vector<double> a(8);
+         std::vector<double> a(nvars);
          for (auto& v : a) { v = dist(rng); }
          const auto out = run_once(std::make_unique<Flagship>(a), options, false);
          if (out.status == OptimizationStatus::SUCCESS &&
