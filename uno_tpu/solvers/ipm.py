@@ -952,9 +952,16 @@ def make_initial_state(prob: NLP, ws: IPMWorkspace, opts: Options,
         J = prob.constraint_jacobian(x, params)
         K = jnp.block([[jnp.eye(n), J.T], [J, jnp.zeros((m, m))]])
         rhs = jnp.concatenate([g - zl - zu, jnp.zeros((m,))])
+        # factor+solve in the configured KKT dtype: with kkt_dtype=float32
+        # the f64 path runs in TPU-emulated doubles and this one-shot init
+        # solve dominated the whole n~128 batch solve (11.5 s of a 13.9 s
+        # batch, measured round 4); the LSQ multipliers are an
+        # initialization heuristic (discarded when ||y||inf > 1e3), so
+        # f32 precision is ample
+        ls_dt = jnp.float32 if opts.kkt_dtype == "float32" else K.dtype
         fac = pick_factorizer(n + m, opts.ldlt_block_size,
-                          opts.ldlt_backend)(K)
-        sol = ldlt_solve(fac, rhs)
+                          opts.ldlt_backend)(K.astype(ls_dt))
+        sol = ldlt_solve(fac, rhs.astype(ls_dt)).astype(rhs.dtype)
         y_try = sol[n:]
         ok = (jnp.max(jnp.abs(y_try), initial=0.0) <= opts.least_square_multiplier_max_norm) \
             & jnp.all(jnp.isfinite(y_try)) & (fac.num_zero == 0)
