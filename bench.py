@@ -80,7 +80,18 @@ def _timed_batch(jax, run, x0j, pj, reps_long=5, reps_short=1):
 
 def _fused_only(preset_name: str, b_sz: int, kkt_dtype: str):
     """Subprocess entry: measure one fused-SQP preset's batched
-    throughput and print a one-line JSON."""
+    throughput and print a one-line JSON.
+
+    Round 4: measured through the BUCKETED (segmented) driver —
+    (a) converged lanes retire between segments instead of holding the
+    vmapped TR loop at full lane cost (round-3: 74 stalled instances set
+    the wall for 512), and (b) each segment is a separate bounded device
+    execution, which also fixes the B>=1024 "TPU worker crashed" failure:
+    the remote worker kills single executions whose wall time exceeds its
+    watchdog, and a full fused solve at B>=1024 in ONE lax.while_loop
+    execution trips it.  max_iterations=60 bounds the stalled tail (the
+    solved population needs ~10-20)."""
+    import time as _t
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -88,15 +99,21 @@ def _fused_only(preset_name: str, b_sz: int, kkt_dtype: str):
     sys.path.insert(0, "/root/repo")
     import uno_tpu  # noqa: F401
     from uno_tpu.options import preset
-    from uno_tpu.solvers.batch import build_batch_sqp
+    from uno_tpu.solvers.batch import build_bucketed_batch_sqp
 
-    p_opts = preset(preset_name, scale_functions=False, kkt_dtype=kkt_dtype)
+    p_opts = preset(preset_name, scale_functions=False, kkt_dtype=kkt_dtype,
+                    max_iterations=60)
     nlp_s, x0s, ps = _flagship_n(b_sz, 8)
-    _, run_s = build_batch_sqp(nlp_s, p_opts,
-                               params_example=jnp.asarray(ps[0]))
-    pb, _, fin = _timed_batch(jax, run_s, jnp.asarray(x0s), jnp.asarray(ps),
-                              reps_long=3)
-    st = np.asarray(fin.status)
+    _, run_s = build_bucketed_batch_sqp(nlp_s, p_opts,
+                                        params_example=jnp.asarray(ps[0]),
+                                        segment=30, min_bucket=64)
+    x0j, pj = jnp.asarray(x0s), jnp.asarray(ps)
+    fin = run_s(x0j, pj)                      # warm (compiles all buckets)
+    np.asarray(fin.status)
+    t0 = _t.time()
+    fin = run_s(x0j, pj)
+    st = np.asarray(fin.status)               # scatter already synced host-side
+    pb = _t.time() - t0
     # strict-tolerance solves (1=KKT, 2=small-step) reported apart from the
     # loose-tolerance ALMOST_OPTIMAL exits (8) so claims distinguish
     # converged from acceptable-level (advisor round-3)
@@ -134,7 +151,7 @@ def main():
     fused_sqp_stats = {}
     if not quick:
         import subprocess
-        for preset_name, b_sz in (("filtersqp", 512), ("byrd", 512)):
+        for preset_name, b_sz in (("filtersqp", 8192), ("byrd", 8192)):
             try:
                 out = subprocess.run(
                     [sys.executable, __file__, "--fused-only", preset_name,
@@ -240,8 +257,11 @@ def main():
     # throughput vs n (ipopt), VERDICT round-2 item 6
     # ------------------------------------------------------------------
     if not quick:
+        # measured single-core reference at each n (uno_baseline
+        # flagship_bench vars=N, ipopt preset, tol 1e-8; round 4)
         curve = {}
-        for n_sz, b_sz in ((32, 8192), (128, 2048)):
+        baseline_n = {32: None, 128: 48.4, 512: 0.93}
+        for n_sz, b_sz in ((32, 8192), (128, 2048), (512, 256)):
             nlp_n, x0n, pn = _flagship_n(b_sz, n_sz)
             _, run_n = build_batch_ipm(nlp_n, opts,
                                        params_example=jnp.asarray(pn[0]))
@@ -249,8 +269,12 @@ def main():
             pb, _, fin = _timed_batch(jax, run_n, x0nj, pnj, reps_long=3)
             st = np.asarray(fin.status)
             sv = int(np.sum((st == 1) | (st == 2)))
-            curve[f"n{n_sz}"] = {"batch": b_sz, "solved": sv,
-                                 "solves_per_sec": round(sv / pb, 1)}
+            row = {"batch": b_sz, "solved": sv,
+                   "solves_per_sec": round(sv / pb, 1)}
+            if baseline_n.get(n_sz):
+                row["single_core_baseline"] = baseline_n[n_sz]
+                row["vs_single_core"] = round(sv / pb / baseline_n[n_sz], 1)
+            curve[f"n{n_sz}"] = row
         detail["ipopt_throughput_vs_n"] = curve
         detail["fused_sqp_solves_per_sec"] = fused_sqp_stats
 

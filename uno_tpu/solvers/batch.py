@@ -65,6 +65,7 @@ def build_batch_ipm(nlp: NLP, opts: Options, params_example=None,
     full lane tile and waste ~90+% of the memory bandwidth — measured 81x
     slower for the factorization kernel at B=16k, n=13.  The wrapper
     transposes at the boundary, so callers still pass/receive batch-first."""
+    opts = _batch_safe_backend(opts)
     prob, ws, step, _ = build_ipm(nlp, opts)
     n_slack = prob.n - nlp.n
 
@@ -78,6 +79,17 @@ def build_batch_ipm(nlp: NLP, opts: Options, params_example=None,
 
     return prob, _vmap_solver(solve_one, nlp.n, params_example, batch_last,
                               clock=getattr(step, "run_clock", None))
+
+
+def _batch_safe_backend(opts):
+    """Batched (vmapped) solves must not route through the Pallas LDL^T:
+    the Mosaic kernel is written for a single VMEM-resident instance and
+    fails to lower under vmap (observed at dim 642: 'failed to legalize
+    func.return').  'auto' resolves to the XLA blocked path instead; an
+    explicit ldlt_backend='pallas' is honored (and will error loudly)."""
+    if opts.ldlt_backend == "auto":
+        return opts.replace(ldlt_backend="blocked")
+    return opts
 
 
 def _vmap_solver(solve_one, n, params_example, batch_last, clock=None):
@@ -133,6 +145,7 @@ def build_batch_sqp(nlp: NLP, opts: Options, params_example=None,
     from uno_tpu.solvers.ipm import canonicalize_state
 
     from uno_tpu.api import is_byrd_family
+    opts = _batch_safe_backend(opts)
     if is_byrd_family(opts):
         prob, ws, step, _ = build_byrd_fused(nlp, opts)
         make_init = make_initial_byrd_state
@@ -295,6 +308,7 @@ def build_bucketed_batch_ipm(nlp: NLP, opts: Options, params_example=None,
 
     Returns (prob, run) with run(x0_batch, params_batch) -> final state
     (batch-first), like build_batch_ipm."""
+    opts = _batch_safe_backend(opts)
     prob, ws, step, _ = build_ipm(nlp, opts)
     n_slack = prob.n - nlp.n
 
@@ -325,6 +339,7 @@ def build_bucketed_batch_sqp(nlp: NLP, opts: Options, params_example=None,
     from uno_tpu.solvers.ipm import canonicalize_state
 
     from uno_tpu.api import is_byrd_family
+    opts = _batch_safe_backend(opts)
     if is_byrd_family(opts):
         prob, ws, step, _ = build_byrd_fused(nlp, opts)
         make_init = make_initial_byrd_state
