@@ -32,7 +32,9 @@ def _random_banded_spd(n, b, rng):
     return A, band
 
 
-@pytest.mark.parametrize("n,b", [(12, 1), (100, 7), (257, 5), (961, 31)])
+@pytest.mark.parametrize("n,b", [
+    (12, 1), (100, 7), (257, 5),
+    pytest.param(961, 31, marks=pytest.mark.slow)])
 def test_btd_cholesky_solves(n, b):
     rng = np.random.default_rng(n + b)
     A, band = _random_banded_spd(n, b, rng)
@@ -139,9 +141,11 @@ def test_declared_structure_matches_dense(name):
 
 # -- end-to-end parity: banded IPM == dense IPM -----------------------------
 
-@pytest.mark.parametrize("name", ["srosenbr_n100", "biggsb1_n100",
-                                  "lukvle1_n100", "lukvli1_n100",
-                                  "chainrosen_ineq_n100", "catena_n98"])
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=[] if n in ("srosenbr_n100", "lukvle1_n100")
+                 else pytest.mark.slow)
+    for n in ("srosenbr_n100", "biggsb1_n100", "lukvle1_n100",
+              "lukvli1_n100", "chainrosen_ineq_n100", "catena_n98")])
 def test_banded_ipm_matches_dense(name):
     import uno_tpu
     from uno_tpu.model.library import get_problem
@@ -159,7 +163,9 @@ def test_banded_ipm_matches_dense(name):
                       rtol=1e-6, atol=1e-8)
 
 
-@pytest.mark.parametrize("n,b", [(64, 3), (257, 5), (961, 31), (1000, 1)])
+@pytest.mark.parametrize("n,b", [
+    (64, 3), (257, 5),
+    pytest.param(961, 31, marks=pytest.mark.slow), (1000, 1)])
 def test_cyclic_reduction_matches_scan(n, b):
     """btd_cholesky_cr/btd_solve_cr (log-depth) solve the same systems as
     the sequential scan to machine precision, with the same PD contract."""
@@ -212,9 +218,10 @@ def test_auto_banded_incomplete_declaration_falls_back_to_dense():
 # steering is intentionally absent: its free-final-time variable couples
 # to every dynamics row (arrow pattern, not banded) and detection
 # correctly declines it
-@pytest.mark.parametrize("name", ["chwood_eq_n100", "broydn_eq_n100",
-                                  "chpowellsg_eq_n100",
-                                  "vanderpol_ctrl_n63"])
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=[] if n == "broydn_eq_n100" else pytest.mark.slow)
+    for n in ("chwood_eq_n100", "broydn_eq_n100", "chpowellsg_eq_n100",
+              "vanderpol_ctrl_n63")])
 def test_auto_permute_matches_dense(name):
     """auto_permute=True probes the Hessian/Jacobian sparsity, RCM-permutes
     for bandwidth, declares NLPStructure, and routes through the banded
@@ -238,6 +245,7 @@ def test_auto_permute_matches_dense(name):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_auto_permute_irregular_stays_dense():
     """Irregular (all-pairs) coupling must NOT be forced through the banded
     backend: detection declines and the dense path solves as before."""

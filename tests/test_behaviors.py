@@ -214,7 +214,9 @@ def test_unbounded_detected(preset):
 # status plumbing: iteration limit, time limit
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("preset", ALL_PRESETS)
+@pytest.mark.parametrize("preset", [
+    pytest.param(p, marks=[] if p in ("ipopt", "filtersqp")
+                 else pytest.mark.slow) for p in ALL_PRESETS])
 def test_max_iterations_status(preset):
     from uno_tpu.model.library import chained_rosenbrock
     res = uno_tpu.solve(chained_rosenbrock(20), preset=preset,

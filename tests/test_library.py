@@ -33,7 +33,10 @@ SLSQP_SKIP = {
 }
 
 
-@pytest.mark.parametrize("name", ALL)
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow if any(
+        n.endswith(f"_n{k}") for k in (961, 998, 999, 1000, 1001, 1002))
+        else []) for n in ALL])
 def test_problem_wellformed(name):
     nlp = get_problem(name)
     assert nlp.n >= 1 and nlp.m >= 0

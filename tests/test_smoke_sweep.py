@@ -45,7 +45,19 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("name,preset", CASES)
+# default tier keeps a 2-per-preset core (wall-time budget, round-4:
+# default suite must stay < 300 s); the rest run with --runslow (and the
+# FULL library runs out-of-band via tools/sweep.py)
+CORE = {("hs015", "ipopt"), ("hs015", "filtersqp"), ("hs015", "byrd"),
+        ("hs021", "funnelsqp"), ("hs035", "filterslp"),
+        ("srosenbr_n100", "ipopt"), ("dtoc1_n11", "ipopt"),
+        ("lukvle1_n10", "filtersqp"), ("nl_srosenbr_n10", "ipopt"),
+        ("maratos", "filtersqp")}
+
+
+@pytest.mark.parametrize("name,preset", [
+    pytest.param(n, p, marks=[] if (n, p) in CORE else pytest.mark.slow)
+    for n, p in CASES])
 def test_smoke_solved(name, preset):
     nlp = get_problem(name)
     res = uno_tpu.solve(nlp, preset=preset, max_iterations=500)
