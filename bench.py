@@ -99,14 +99,29 @@ def _fused_only(preset_name: str, b_sz: int, kkt_dtype: str):
     sys.path.insert(0, "/root/repo")
     import uno_tpu  # noqa: F401
     from uno_tpu.options import preset
-    from uno_tpu.solvers.batch import build_bucketed_batch_sqp
+    from uno_tpu.solvers.batch import (build_batch_sqp,
+                                       build_bucketed_batch_sqp)
 
-    p_opts = preset(preset_name, scale_functions=False, kkt_dtype=kkt_dtype,
-                    max_iterations=60)
-    nlp_s, x0s, ps = _flagship_n(b_sz, 8)
-    _, run_s = build_bucketed_batch_sqp(nlp_s, p_opts,
-                                        params_example=jnp.asarray(ps[0]),
-                                        segment=30, min_bucket=64)
+    if preset_name == "filtersqp":
+        # ~13% of this family stalls under filtersqp: the bucketed driver
+        # retires converged lanes AND keeps every device execution bounded
+        # (the B>=1024 watchdog-crash fix); max_iterations=60 bounds the
+        # stalled tail (solved instances need ~10-20)
+        p_opts = preset(preset_name, scale_functions=False,
+                        kkt_dtype=kkt_dtype, max_iterations=60)
+        nlp_s, x0s, ps = _flagship_n(b_sz, 8)
+        _, run_s = build_bucketed_batch_sqp(nlp_s, p_opts,
+                                            params_example=jnp.asarray(ps[0]),
+                                            segment=30, min_bucket=64)
+    else:
+        # byrd has no stall tail on this family — the plain vmapped driver
+        # is faster (no per-segment syncs) and its whole-batch execution
+        # stays far below the worker's wall-time watchdog
+        p_opts = preset(preset_name, scale_functions=False,
+                        kkt_dtype=kkt_dtype)
+        nlp_s, x0s, ps = _flagship_n(b_sz, 8)
+        _, run_s = build_batch_sqp(nlp_s, p_opts,
+                                   params_example=jnp.asarray(ps[0]))
     x0j, pj = jnp.asarray(x0s), jnp.asarray(ps)
     fin = run_s(x0j, pj)                      # warm (compiles all buckets)
     np.asarray(fin.status)
