@@ -115,11 +115,12 @@ def compare(preset, ref, ours, manifest):
         else None,
         "within_1pct": ours_solved >= ref_solved - max(1, round(0.01 * n)),
         "exceeds_reference": ours_solved > ref_solved,
-        "note": ("reference = /root/reference libuno (ipopt preset, LAPACK "
-                 "LDL^T behind the MA27/MA57 seam, postfix-AD .nl models "
-                 "replacing ASL); identical .nl corpus, identical solved "
-                 "rule: SUCCESS + feasible KKT/small-step + |f-f*| <= "
-                 "1e-4 rel when a certified optimum exists"),
+        "note": (f"reference = /root/reference libuno ({preset} preset; "
+                 "LAPACK LDL^T behind the MA27/MA57 seam, the in-repo "
+                 "IP-QP behind the BQPD/HiGHS seams, postfix-AD .nl "
+                 "models replacing ASL); identical .nl corpus, identical "
+                 "solved rule: SUCCESS + feasible KKT/small-step + "
+                 "|f-f*| <= 1e-4 rel when a certified optimum exists"),
     }
     disagreements = [r["name"] for r in rows
                      if r["ref_solved"] != r["uno_tpu_solved"]]
