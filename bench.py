@@ -114,11 +114,13 @@ def _fused_only(preset_name: str, b_sz: int, kkt_dtype: str):
                                             params_example=jnp.asarray(ps[0]),
                                             segment=30, min_bucket=64)
     else:
-        # byrd has no stall tail on this family — the plain vmapped driver
-        # is faster (no per-segment syncs) and its whole-batch execution
-        # stays far below the worker's wall-time watchdog
+        # byrd rarely stalls on this family, so the plain vmapped driver
+        # wins (no per-segment syncs) — but ONE stalled lane at the 2000
+        # default cap would hold the whole single execution past the
+        # worker's watchdog (measured: B=8192 plain crashes), so the
+        # iteration cap stays at 60 (solved lanes need ~10-20)
         p_opts = preset(preset_name, scale_functions=False,
-                        kkt_dtype=kkt_dtype)
+                        kkt_dtype=kkt_dtype, max_iterations=60)
         nlp_s, x0s, ps = _flagship_n(b_sz, 8)
         _, run_s = build_batch_sqp(nlp_s, p_opts,
                                    params_example=jnp.asarray(ps[0]))
@@ -166,7 +168,7 @@ def main():
     fused_sqp_stats = {}
     if not quick:
         import subprocess
-        for preset_name, b_sz in (("filtersqp", 8192), ("byrd", 8192)):
+        for preset_name, b_sz in (("filtersqp", 8192), ("byrd", 2048)):
             try:
                 out = subprocess.run(
                     [sys.executable, __file__, "--fused-only", preset_name,
