@@ -17,6 +17,85 @@ def is_byrd_family(options: Options) -> bool:
             and options.globalization_strategy == "l1_merit")
 
 
+def _preflight(nlp: NLP):
+    """Initial-iterate screening, the analogue of the reference driver's
+    outermost try/catch (Uno.cpp:91-94: any error at the initial iterate ->
+    OptimizationStatus::EVALUATION_ERROR) plus trivial-infeasibility
+    detection for empty bound boxes (l > u admits no point at all, so no
+    restoration phase is needed to certify infeasibility).
+
+    Returns a Result to short-circuit with, or None to proceed."""
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uno_tpu.solvers.ipm import Result
+
+    t0 = _time.perf_counter()
+    x_lb, x_ub = np.asarray(nlp.x_lb), np.asarray(nlp.x_ub)
+    c_lb, c_ub = np.asarray(nlp.c_lb), np.asarray(nlp.c_ub)
+
+    def result(status, x, f, c):
+        viol = 0.0
+        if nlp.m:
+            c = np.asarray(c, dtype=np.float64)
+            viol = float(np.max(np.maximum(np.maximum(c_lb - c, c - c_ub), 0.0),
+                                initial=0.0))
+        # an empty variable box counts as primal infeasibility too
+        viol = max(viol, float(np.max(x_lb - x_ub, initial=0.0)),
+                   float(np.max(c_lb - c_ub, initial=0.0)))
+        return Result(
+            status=status, x=np.asarray(x, dtype=np.float64),
+            y=np.zeros(nlp.m), zl=np.zeros(nlp.n), zu=np.zeros(nlp.n),
+            objective=float(f), iterations=0,
+            primal_feasibility=viol, stationarity=np.inf,
+            complementarity=0.0, cpu_time=_time.perf_counter() - t0,
+            num_subproblems_solved=0, num_factorizations=0,
+            num_objective_evaluations=1, num_constraint_evaluations=1)
+
+    def evaluate(x):
+        xj = jnp.asarray(x)
+        f = float(nlp.f(xj, nlp.params))
+        c = (np.asarray(nlp.c(xj, nlp.params), dtype=np.float64)
+             if nlp.m else np.zeros(0))
+        return f, c
+
+    # 1. empty feasible box: some l > u (no point can ever satisfy it)
+    if (x_lb > x_ub).any() or (c_lb > c_ub).any():
+        x = np.clip(nlp.x0, np.minimum(x_lb, x_ub), np.maximum(x_lb, x_ub))
+        try:
+            f, c = evaluate(x)
+        except Exception:  # noqa: BLE001 — still certify the empty box
+            f, c = np.nan, np.full(nlp.m, np.nan)
+        return result("infeasible_stationary_point", x, f, c)
+
+    # 2. evaluation error at the initial iterate: non-finite f/c both at the
+    # bound-projected x0 AND at an IPOPT-style strictly-interior push (the
+    # push can rescue domain errors, e.g. log(x) with x0 below a zero lower
+    # bound, so failing only the projected point is not conclusive)
+    x_proj = np.clip(np.asarray(nlp.x0, dtype=np.float64), x_lb, x_ub)
+    try:
+        f, c = evaluate(x_proj)
+    except Exception:  # noqa: BLE001
+        f, c = np.nan, np.full(nlp.m, np.nan)
+    if not (np.isfinite(f) and np.all(np.isfinite(c))):
+        with np.errstate(invalid="ignore"):
+            pl = np.minimum(1e-2 * np.maximum(1.0, np.abs(x_lb)),
+                            1e-2 * np.maximum(x_ub - x_lb, 0.0))
+            lo = np.where(np.isfinite(x_lb), x_lb + pl, -np.inf)
+            hi = np.where(np.isfinite(x_ub), x_ub - pl, np.inf)
+        x_push = np.clip(x_proj, np.nan_to_num(lo, nan=-np.inf, neginf=-np.inf),
+                         np.nan_to_num(hi, nan=np.inf, posinf=np.inf))
+        try:
+            f2, c2 = evaluate(x_push)
+        except Exception:  # noqa: BLE001
+            f2, c2 = np.nan, np.full(nlp.m, np.nan)
+        if not (np.isfinite(f2) and np.all(np.isfinite(c2))):
+            return result("evaluation_error", x_proj, f, c)
+    return None
+
+
 def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = None,
           callbacks=None, history=False, **overrides):
     """Solve an NLP. Returns a Result.
@@ -28,6 +107,10 @@ def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = N
         options = _preset(preset or "ipopt", **overrides)
     elif overrides:
         options = options.replace(**overrides)
+
+    early = _preflight(nlp)
+    if early is not None:
+        return early
 
     if options.auto_permute and nlp.structure is None:
         # RCM structure detection (round-4): probe sparsity, permute for

@@ -270,9 +270,16 @@ def nlp_from_functions(
     params=None,
     structure=None,
 ) -> NLP:
-    """Convenience constructor.  `f`/`c` may take (x,) or (x, params)."""
+    """Convenience constructor.  `f`/`c` may take (x,) or (x, params).
+
+    Validates user data at the API boundary (the reference's AMPL layer can
+    never produce NaN bounds or mismatched shapes, so the solvers assume
+    clean data): NaN in x0 or any bound raises ValueError, as do
+    inconsistent bound-array lengths."""
     x0 = np.asarray(x0, dtype=np.float64)
     n = x0.shape[0]
+    if np.isnan(x0).any():
+        raise ValueError(f"{name}: initial point x0 contains NaN")
 
     def wrap(fn):
         if fn is None:
@@ -297,10 +304,20 @@ def nlp_from_functions(
     else:
         c_lb = np.asarray(c_lb, dtype=np.float64)
         c_ub = np.asarray(c_ub, dtype=np.float64)
+        if c_lb.shape != c_ub.shape:
+            raise ValueError(
+                f"{name}: c_lb shape {c_lb.shape} != c_ub shape {c_ub.shape}")
         m = c_lb.shape[0]
 
     x_lb = np.full(n, -INF) if x_lb is None else np.asarray(x_lb, dtype=np.float64)
     x_ub = np.full(n, INF) if x_ub is None else np.asarray(x_ub, dtype=np.float64)
+    if x_lb.shape != (n,) or x_ub.shape != (n,):
+        raise ValueError(
+            f"{name}: bound shapes {x_lb.shape}/{x_ub.shape} != x0 shape ({n},)")
+    for tag, arr in (("x_lb", x_lb), ("x_ub", x_ub),
+                     ("c_lb", c_lb), ("c_ub", c_ub)):
+        if np.isnan(arr).any():
+            raise ValueError(f"{name}: {tag} contains NaN")
     y0 = np.zeros(m) if y0 is None else np.asarray(y0, dtype=np.float64)
     return NLP(
         name=name, n=n, m=m, f=fw, c=cw, x_lb=x_lb, x_ub=x_ub,
