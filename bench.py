@@ -110,20 +110,26 @@ def _fused_only(preset_name: str, b_sz: int, kkt_dtype: str):
         p_opts = preset(preset_name, scale_functions=False,
                         kkt_dtype=kkt_dtype, max_iterations=60)
         nlp_s, x0s, ps = _flagship_n(b_sz, 8)
+        # segment=5: this family's median solve is 2 TR iterations (p50
+        # measured on-device), so short slices retire the bulk of the
+        # batch almost immediately and the stalled ~12% tail runs at
+        # small-bucket cost — 239.6 -> 482.8 solves/s at B=8192 vs
+        # segment=30 (the per-slice host sync is ~30-40 ms, negligible)
         _, run_s = build_bucketed_batch_sqp(nlp_s, p_opts,
                                             params_example=jnp.asarray(ps[0]),
-                                            segment=30, min_bucket=64)
+                                            segment=5, min_bucket=64)
     else:
-        # byrd rarely stalls on this family, so the plain vmapped driver
-        # wins (no per-segment syncs) — but ONE stalled lane at the 2000
-        # default cap would hold the whole single execution past the
-        # worker's watchdog (measured: B=8192 plain crashes), so the
-        # iteration cap stays at 60 (solved lanes need ~10-20)
+        # byrd stalls rarely on this family (1 lane in 2048) — but under
+        # the plain vmapped driver that single lane holds the WHOLE batch
+        # at full lane cost to the 60-iteration cap (measured 342 solves/s
+        # at B=2048); the bucketed driver retires the converged 99.95%
+        # within a few segments and runs the stall at min-bucket cost
         p_opts = preset(preset_name, scale_functions=False,
                         kkt_dtype=kkt_dtype, max_iterations=60)
         nlp_s, x0s, ps = _flagship_n(b_sz, 8)
-        _, run_s = build_batch_sqp(nlp_s, p_opts,
-                                   params_example=jnp.asarray(ps[0]))
+        _, run_s = build_bucketed_batch_sqp(nlp_s, p_opts,
+                                            params_example=jnp.asarray(ps[0]),
+                                            segment=5, min_bucket=64)
     x0j, pj = jnp.asarray(x0s), jnp.asarray(ps)
     fin = run_s(x0j, pj)                      # warm (compiles all buckets)
     np.asarray(fin.status)
@@ -168,7 +174,7 @@ def main():
     fused_sqp_stats = {}
     if not quick:
         import subprocess
-        for preset_name, b_sz in (("filtersqp", 8192), ("byrd", 2048)):
+        for preset_name, b_sz in (("filtersqp", 8192), ("byrd", 8192)):
             try:
                 out = subprocess.run(
                     [sys.executable, __file__, "--fused-only", preset_name,
@@ -302,17 +308,25 @@ def main():
     from uno_tpu.ingredients.regularization import pick_factorizer
     from uno_tpu.linalg.ldlt import ldlt_solve
 
-    def chain_ms(make_cycles, *args, K1=5, K2=25):
+    def chain_ms(make_cycles, *args, K1=10, K2=110, repeats=3):
+        """(K2-K1) extra cycles must dominate the ~30 ms axon round-trip:
+        with the old K2-K1=20, a dim-640 iteration (~0.4 ms) left only
+        ~8 ms of signal under ~30 ms of RTT jitter on a loaded host and
+        the difference occasionally collapsed to 0.  100 extra cycles +
+        median-of-3 keeps the signal 5-40x the jitter."""
         f1, f2 = make_cycles(K1), make_cycles(K2)
         float(jnp.sum(f1(*args)[0]))  # compile+warm short
         float(jnp.sum(f2(*args)[0]))  # compile+warm long
-        t0 = time.time()
-        float(jnp.sum(f1(*args)[0]))
-        t_short = time.time() - t0
-        t0 = time.time()
-        float(jnp.sum(f2(*args)[0]))
-        t_long = time.time() - t0
-        return max(t_long - t_short, 1e-9) / (K2 - K1) * 1e3
+        diffs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            float(jnp.sum(f1(*args)[0]))
+            t_short = time.time() - t0
+            t0 = time.time()
+            float(jnp.sum(f2(*args)[0]))
+            t_long = time.time() - t0
+            diffs.append(t_long - t_short)
+        return max(float(np.median(diffs)), 1e-9) / (K2 - K1) * 1e3
 
     kkt_stats = {}
     rng = np.random.default_rng(1)
