@@ -257,3 +257,18 @@ def test_auto_permute_irregular_stays_dense():
     assert perm is None
     res = uno_tpu.solve(nlp, preset="ipopt", auto_permute=True)
     assert res.success
+
+
+@pytest.mark.slow
+def test_condensed_breakdown_falls_back_to_augmented():
+    """catena_n298: the condensed banded formulation breaks down under the
+    heavy inertia correction this chain needs at its flat start (delta ~
+    1e4 squares through the condensed system), while the augmented LDL^T
+    solves in 16 iterations — exactly the reference's count.  'auto' must
+    retry the augmented formulation on algorithmic breakdown."""
+    import uno_tpu
+    from uno_tpu.model.library import get_problem
+    res = uno_tpu.solve(get_problem("catena_n298"), preset="ipopt")
+    assert res.success, res.status
+    assert res.iterations <= 30
+    assert abs(float(res.objective) - (-68.3396)) < 1e-3

@@ -137,7 +137,24 @@ def solve(nlp: NLP, options: Optional[Options] = None, preset: Optional[str] = N
                 "The interior-point subproblem does not support a trust "
                 "region; use globalization_mechanism='LS'")
         from uno_tpu.solvers.ipm import solve_ipm
-        return solve_ipm(nlp, options, callbacks=callbacks, history=history)
+        res = solve_ipm(nlp, options, callbacks=callbacks, history=history)
+        if (res.status == "algorithmic_error"
+                and options.kkt_formulation == "auto"
+                and nlp.structure is not None):
+            # the condensed banded/lifted formulations square the KKT
+            # conditioning; under heavy inertia correction (e.g. the
+            # catena chain family: delta ~ 1e4 at the flat start) the
+            # condensed solve loses enough accuracy to wreck the
+            # trajectory while the augmented LDL^T — the formulation the
+            # reference's MA57 always factors (MA57Solver.cpp:155-179) —
+            # solves cleanly.  'auto' retries the robust formulation on
+            # breakdown; an explicit kkt_formulation choice is honored
+            # as asked.
+            res2 = solve_ipm(nlp, options.replace(kkt_formulation="augmented"),
+                             callbacks=callbacks, history=history)
+            if res2.success or res2.status != "algorithmic_error":
+                return res2
+        return res
     else:
         driver = options.sqp_driver
         byrd_family = is_byrd_family(options)

@@ -40,12 +40,27 @@ def pick_factorizer(dim: int, block: int, ldlt_backend: str = "auto"):
     use_pallas = ldlt_backend == "pallas" or (
         ldlt_backend == "auto" and 256 <= dim
         and _jax.default_backend() == "tpu")
+    b = min(block, -(-dim // 8) * 8)
     if use_pallas:
         from uno_tpu.linalg.pallas_ldlt import (PALLAS_MAX_DIM,
                                                 ldlt_factor_pallas)
         if dim <= PALLAS_MAX_DIM:
-            return lambda A: ldlt_factor_pallas(A)
-    b = min(block, -(-dim // 8) * 8)
+            import jax.numpy as _jnp
+
+            def fac_pallas(A):
+                # Mosaic lowers only 32-bit element types to scalars, so
+                # the VMEM kernel is f32-only; the default kkt_dtype is
+                # float64 (TPU-emulated), which must take the XLA blocked
+                # path instead of dying in Pallas lowering
+                if A.dtype != _jnp.float32:
+                    if ldlt_backend == "pallas":
+                        raise ValueError(
+                            "ldlt_backend='pallas' requires "
+                            "kkt_dtype='float32' (Mosaic is 32-bit only); "
+                            f"got {A.dtype}")
+                    return ldlt_factor_blocked(A, block=b)
+                return ldlt_factor_pallas(A)
+            return fac_pallas
     return lambda A: ldlt_factor_blocked(A, block=b)
 
 
