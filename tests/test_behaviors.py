@@ -699,6 +699,37 @@ def test_interior_push_rescues_domain_error():
     assert abs(res.x[0] - 1.0) < 1e-6
 
 
+def test_interior_push_rescues_lower_unbounded():
+    """Advisor round-4 (medium): x_lb = -inf with a finite x_ub used to make
+    the push magnitude infinite (1e-2*max(1,|x_lb|) = inf), turning the push
+    point into garbage and misreporting a rescuable problem as
+    evaluation_error.  The per-side push must use only the finite bound."""
+    nlp = nlp_from_functions(
+        "pushhalf", lambda x: x[0] ** 2 - jnp.log(5.0 - x[0]), None,
+        x0=np.array([5.0]),  # f non-finite exactly at the projected x0
+        x_lb=np.array([-INF]), x_ub=np.array([5.0]))
+    res = uno_tpu.solve(nlp, preset="ipopt")
+    assert res.success, res.status
+    assert res.x[0] < 5.0
+
+
+def test_preflight_violation_finite_with_nan_constraints():
+    """Advisor round-4 (low): NaN constraint rows must not poison the
+    reported primal_feasibility of an early-exit result — bound-box
+    violations must still be measured from the finite parts."""
+    def bad_c(x):
+        return jnp.array([jnp.log(x[0]), x[0] + 100.0])
+    nlp = nlp_from_functions(
+        "nanviol", lambda x: jnp.log(x[0]), bad_c,
+        x0=np.array([-1.0]), c_lb=np.array([0.0, 0.0]),
+        c_ub=np.array([1.0, 1.0]))
+    res = uno_tpu.solve(nlp, preset="ipopt")
+    assert res.status == "evaluation_error"
+    assert np.isfinite(res.primal_feasibility)
+    # the finite row x+100 = 99 violates c_ub=1 by 98
+    assert res.primal_feasibility >= 90.0
+
+
 @pytest.mark.parametrize("preset", ["ipopt", "filtersqp", "byrd"])
 def test_constant_objective_unconstrained(preset):
     """Degenerate 'empty' problem: constant f, no constraints — any point is

@@ -40,8 +40,11 @@ def _preflight(nlp: NLP):
         viol = 0.0
         if nlp.m:
             c = np.asarray(c, dtype=np.float64)
-            viol = float(np.max(np.maximum(np.maximum(c_lb - c, c - c_ub), 0.0),
-                                initial=0.0))
+            # non-finite constraint values (evaluation_error path) must not
+            # poison the reported violation — measure only the finite rows
+            cv = np.where(np.isfinite(c),
+                          np.maximum(np.maximum(c_lb - c, c - c_ub), 0.0), 0.0)
+            viol = float(np.max(cv, initial=0.0))
         # an empty variable box counts as primal infeasibility too
         viol = max(viol, float(np.max(x_lb - x_ub, initial=0.0)),
                    float(np.max(c_lb - c_ub, initial=0.0)))
@@ -81,12 +84,22 @@ def _preflight(nlp: NLP):
         f, c = np.nan, np.full(nlp.m, np.nan)
     if not (np.isfinite(f) and np.all(np.isfinite(c))):
         with np.errstate(invalid="ignore"):
-            pl = np.minimum(1e-2 * np.maximum(1.0, np.abs(x_lb)),
-                            1e-2 * np.maximum(x_ub - x_lb, 0.0))
-            lo = np.where(np.isfinite(x_lb), x_lb + pl, -np.inf)
-            hi = np.where(np.isfinite(x_ub), x_ub - pl, np.inf)
-        x_push = np.clip(x_proj, np.nan_to_num(lo, nan=-np.inf, neginf=-np.inf),
-                         np.nan_to_num(hi, nan=np.inf, posinf=np.inf))
+            # per-side push magnitudes (IPOPT's rule): the lower push scales
+            # with |x_lb|, the upper push with |x_ub|, each capped by the box
+            # width only when that width is finite — so a half-infinite box
+            # (x_lb = -inf, finite x_ub) still gets a sane finite upper push
+            width = x_ub - x_lb
+            pl = 1e-2 * np.maximum(1.0, np.abs(np.where(np.isfinite(x_lb),
+                                                        x_lb, 0.0)))
+            pu = 1e-2 * np.maximum(1.0, np.abs(np.where(np.isfinite(x_ub),
+                                                        x_ub, 0.0)))
+            cap = np.where(np.isfinite(width), 1e-2 * np.maximum(width, 0.0),
+                           np.inf)
+            lo = np.where(np.isfinite(x_lb), x_lb + np.minimum(pl, cap),
+                          -np.inf)
+            hi = np.where(np.isfinite(x_ub), x_ub - np.minimum(pu, cap),
+                          np.inf)
+        x_push = np.clip(x_proj, lo, hi)
         try:
             f2, c2 = evaluate(x_push)
         except Exception:  # noqa: BLE001

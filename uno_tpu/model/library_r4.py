@@ -48,7 +48,7 @@ def _p(name, f, c, x0, x_lb=None, x_ub=None, c_lb=None, c_ub=None):
 # 1a. recovered Hock-Schittkowski problems
 # ===========================================================================
 
-@register("hs059", f_star=-7.80278947)
+@register("hs059", f_star=-7.80278947, self_certified=True)
 def hs059():
     """HS59 (Betts): bivariate polynomial/exp objective, 3 quadratic
     inequalities.  Objective includes the -0.12694 x1^2 term present in the
@@ -90,7 +90,7 @@ _HS105_RANGES = ((1, 1, 95), (2, 2, 105), (3, 6, 110), (7, 10, 115),
                  (234, 235, 250))
 
 
-@register("hs105", f_star=1136.30730)
+@register("hs105", f_star=1136.30730, self_certified=True)
 def hs105():
     """HS105: 3-component Gaussian-mixture maximum likelihood over 235
     observations; 8 variables, one linear inequality x1 + x2 <= 1.
