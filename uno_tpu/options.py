@@ -150,7 +150,11 @@ class Options:
     dist_ldlt_block: int = 64        # distributed-KKT panel width (per chip)
     # "augmented" dense LDL^T | "lifted" condensed Cholesky | "banded"
     # structured block-tridiagonal Cholesky (requires NLP.structure) |
-    # "auto" = banded when the model declares structure, else augmented
+    # "sparse" general static-sparsity supernodal LDL^T (fill-reducing
+    # ordering + supernodal schedule, linalg/sparse_ldlt.py) |
+    # "auto" = banded when the model declares structure; with
+    # auto_permute=True, probes sparsity and routes sparse when the
+    # scheduled flops beat the dense MXU path; else augmented
     kkt_formulation: str = "auto"
     # automatic RCM bandwidth-reduction over the DETECTED Hessian/Jacobian
     # sparsity (transforms.detect_structure): structured models need not

@@ -1078,6 +1078,19 @@ def build_ipm(nlp: NLP, opts: Options, mesh=None):
         from uno_tpu.linalg.condensed import make_lifted_kkt_backend
         kkt_backend = make_lifted_kkt_backend(
             prob.n, ws.m, tau=opts.lifted_kkt_relaxation)
+    elif opts.kkt_formulation == "sparse" or (
+            opts.kkt_formulation == "auto" and opts.auto_permute
+            and prob.structure is None):
+        # general static-sparsity supernodal LDL^T (linalg/sparse_ldlt.py):
+        # the irregular-coupling class RCM/banded detection declines —
+        # fill-reducing ordering + static supernodal schedule, the
+        # MA57-symbolic-analysis equivalent (MA57Solver.cpp:40-90).
+        # try_make... returns None (-> dense) when the probed pattern is
+        # genuinely dense or the padded schedule loses to the MXU dense
+        # path; kkt_formulation="sparse" forces it.
+        from uno_tpu.linalg.sparse_kkt import try_make_sparse_kkt_backend
+        kkt_backend = try_make_sparse_kkt_backend(
+            prob, ws.m, opts, force=(opts.kkt_formulation == "sparse"))
     elif opts.kkt_formulation == "banded" or (
             opts.kkt_formulation == "auto" and prob.structure is not None
             and (ws.m == 0 or prob.structure.jac_starts is not None)):
