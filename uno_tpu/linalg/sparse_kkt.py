@@ -102,13 +102,21 @@ def make_sparse_kkt_backend(plan: SparsePlan):
 
 
 def try_make_sparse_kkt_backend(prob, m: int, opts, force: bool = False,
-                                max_n: int = 4096,
+                                max_n: int = 8192,
                                 density_cutoff: float = 0.25,
-                                flop_margin: float = 0.6):
+                                flop_margin: float = 0.6,
+                                min_n_auto: int = 3072):
     """Probe + analyze + decide.  Returns (factorize, solve) or None.
 
     force=True (kkt_formulation="sparse") skips the economics and builds
-    the backend whenever a plan exists (the user asked for it by name)."""
+    the backend whenever a plan exists (the user asked for it by name).
+
+    min_n_auto: measured TPU-v5e crossover (SPARSE_KKT_r05.json): both the
+    dense blocked LDL^T and the supernodal scan are bound by ~N sequential
+    rank-1 micro-steps, so below N~3-4k the MXU dense path wins outright
+    (N=553: dense 0.31 ms vs sparse 2.9 ms) regardless of the flop count;
+    sparse overtakes where dense's O(N^3) flops dominate its latency
+    (N=4096: parity; N=8192: sparse 97 ms vs dense 446 ms = 4.6x)."""
     global last_detection_report
     N = prob.n + m
     if N > max_n:
@@ -120,9 +128,12 @@ def try_make_sparse_kkt_backend(prob, m: int, opts, force: bool = False,
                 f"kkt_formulation='sparse': KKT dimension {N} above the "
                 f"supported probe range (<= {max_n})")
         return None
-    if N < 8 and not force:
+    if N < min_n_auto and not force:
         last_detection_report = SparseDetectionReport(
-            route="dense", reason=f"N={N}: too small for sparsity to pay",
+            route="dense",
+            reason=(f"N={N} below the measured TPU crossover "
+                    f"({min_n_auto}): the dense MXU path is faster at this "
+                    "size (SPARSE_KKT_r05.json)"),
             N=N)
         return None
     pat, is_dual = probe_kkt_pattern(prob, m)

@@ -272,6 +272,15 @@ def build_plan(pattern: np.ndarray, is_dual=None, w_cap: int = 16,
             pos_of[tb] = -1
 
     padded_cells = int(K * r_max * w_max)
+    # compact index dtypes: the plan arrays ride inside jitted programs as
+    # constants (and over the remote-compile tunnel under axon), so size
+    # matters — selI/selJ index panel rows (< r_max+1), ids index N+1
+    if r_max + 1 < 2 ** 15:
+        upd_selI = upd_selI.astype(np.int16)
+        upd_selJ = upd_selJ.astype(np.int16)
+    if N + 1 < 2 ** 15:
+        col_ids = col_ids.astype(np.int16)
+        row_ids = row_ids.astype(np.int16)
     return SparsePlan(N=N, w_max=w_max, r_max=r_max, u_max=u_max,
                       perm=perm, iperm=iperm, col_start=col_start,
                       width=width, col_ids=col_ids, row_ids=row_ids,

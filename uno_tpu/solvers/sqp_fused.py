@@ -88,6 +88,7 @@ class SQPFState(NamedTuple):
     iteration: jnp.ndarray    # accepted steps (reference outer iterations)
     attempts: jnp.ndarray
     loose_count: jnp.ndarray
+    creep_count: jnp.ndarray  # consecutive accepted feasible roundoff-steps
     # reporting residuals (at the current iterate)
     stat: jnp.ndarray
     stat_scaling: jnp.ndarray
@@ -547,6 +548,25 @@ def make_sqp_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
         status = jnp.where(small & (h_cur > tol) & ~is_feas & ~fj_ok(loose),
                            ALGORITHMIC_ERROR, status)
 
+        # accepted-creep termination: a degenerate (singular-Hessian) valley
+        # can produce an infinite stream of ACCEPTED steps whose objective
+        # progress is at roundoff scale (polak5's quartic active manifold:
+        # each convexified QP step moves ~1e-6 and gains ~1e-11 in f) — the
+        # small-radius exit above never fires because nothing is rejected.
+        # 15 consecutive such steps at a feasible iterate terminate
+        # FEASIBLE_SMALL_STEP, the same honest status the TR small-step
+        # exit reports (threshold mirrors the reference's loose-tolerance
+        # consecutive-iteration mechanism, DefaultOptions.cpp:22-23)
+        creeping = accept & (h_t <= tol) & ~is_feas \
+            & (dir_norm <= jnp.sqrt(tol) * (1.0 + jnp.max(jnp.abs(x), initial=0.0))) \
+            & (jnp.abs(merit_actual) <= 1e-11 * jnp.maximum(1.0, jnp.abs(merit_cur)))
+        creep_count = jnp.where(creeping, s.creep_count + 1,
+                                jnp.zeros_like(s.creep_count))
+        status = jnp.where(
+            (status == RUNNING) & (creep_count
+                                   >= opts.loose_tolerance_consecutive_iteration_threshold),
+            jnp.where(kkt_ok(loose), OPTIMAL, FEASIBLE_SMALL_STEP), status)
+
         # ---- commit ---------------------------------------------------------
         running = status == RUNNING
         com = accept & running
@@ -583,7 +603,7 @@ def make_sqp_step(nlp: NLP, ws: FusedSQPWorkspace, opts: Options):
             h_ref=h_ref, status=status,
             iteration=s.iteration + jnp.where(com, 1, 0),
             attempts=s.attempts + jnp.where(running, 1, 0),
-            loose_count=loose_count,
+            loose_count=loose_count, creep_count=creep_count,
             stat=stat, stat_scaling=ssc, compl=compl, compl_scaling=csc,
             primal_feas=pf,
             num_qp=s.num_qp + jnp.where(running, 1, 0),
@@ -1258,6 +1278,7 @@ def make_initial_sqp_state(nlp: NLP, ws: FusedSQPWorkspace, opts: Options,
         filter=filt, gs_scalar=gs_scalar, h_initial=h0, h_ref=h0,
         status=jnp.asarray(RUNNING), iteration=jnp.asarray(0),
         attempts=jnp.asarray(0), loose_count=jnp.asarray(0),
+        creep_count=jnp.asarray(0),
         stat=jnp.asarray(jnp.inf), stat_scaling=jnp.asarray(1.0),
         compl=jnp.asarray(jnp.inf), compl_scaling=jnp.asarray(1.0),
         primal_feas=h0,
