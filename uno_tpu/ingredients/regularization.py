@@ -43,9 +43,39 @@ def pick_factorizer(dim: int, block: int, ldlt_backend: str = "auto"):
     b = min(block, -(-dim // 8) * 8)
     if use_pallas:
         from uno_tpu.linalg.pallas_ldlt import (PALLAS_MAX_DIM,
-                                                ldlt_factor_pallas)
+                                                ldlt_factor_pallas,
+                                                ldlt_factor_pallas_batched)
         if dim <= PALLAS_MAX_DIM:
             import jax.numpy as _jnp
+            from jax.custom_batching import custom_vmap
+            from uno_tpu.linalg.ldlt import LDLT as _LDLT
+
+            @custom_vmap
+            def fac_pallas_f32(A):
+                return ldlt_factor_pallas(A)
+
+            @fac_pallas_f32.def_vmap
+            def _fac_pallas_batch_rule(axis_size, in_batched, A):
+                # vmap of the single-instance kernel does not lower in
+                # Mosaic; route to the explicit batched-grid kernel when it
+                # measures faster than the vmapped XLA blocked path
+                # (dim >= 512 on v5e; below that the XLA path wins — the
+                # serial column chain dominates and XLA amortizes it over
+                # all lanes at once), else to the XLA path.
+                Af = A.reshape((-1,) + A.shape[-2:])
+                if dim >= 512:
+                    out = ldlt_factor_pallas_batched(Af)
+                else:
+                    import jax as _jax
+                    out = _jax.vmap(
+                        lambda M: ldlt_factor_blocked(M, block=b))(Af)
+                lead = A.shape[:-2]
+                out = _LDLT(out.L.reshape(lead + out.L.shape[-2:]),
+                            out.d.reshape(lead + out.d.shape[-1:]),
+                            out.num_pos.reshape(lead),
+                            out.num_neg.reshape(lead),
+                            out.num_zero.reshape(lead))
+                return out, _LDLT(True, True, True, True, True)
 
             def fac_pallas(A):
                 # Mosaic lowers only 32-bit element types to scalars, so
@@ -59,7 +89,7 @@ def pick_factorizer(dim: int, block: int, ldlt_backend: str = "auto"):
                             "kkt_dtype='float32' (Mosaic is 32-bit only); "
                             f"got {A.dtype}")
                     return ldlt_factor_blocked(A, block=b)
-                return ldlt_factor_pallas(A)
+                return fac_pallas_f32(A)
             return fac_pallas
     return lambda A: ldlt_factor_blocked(A, block=b)
 

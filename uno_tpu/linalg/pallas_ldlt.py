@@ -27,6 +27,22 @@ touches only the unprocessed block), so VMEM holds 2*n^2*4 bytes (input +
 working/output) -> n <= 1280 (padded).  Larger systems fall back to the
 XLA blocked factorization or, for structured models, the banded
 block-tridiagonal/cyclic-reduction path (linalg/banded.py).
+
+Batched variant (round 5): `ldlt_factor_pallas_batched` runs the same
+kernel with the BATCH as the Pallas grid axis (one instance per step,
+HBM->VMEM transfers pipelined against compute).  jax.vmap of the
+single-instance kernel does not lower in Mosaic; the measured crossover vs
+the vmapped XLA blocked path on v5e is dim ~512 (1.3x at dim 640) — below
+that the XLA path wins because both implementations are bound by the same
+serial column chain and XLA amortizes each column across every batch lane
+at once.  Two further layouts were built and MEASURED against this
+(BASELINE.md round-5 note): an instances-on-sublane kernel (per-column
+work vectorized across a b_tile of instances, layout (rows, b_tile, cols))
+reached only 0.82x of XLA at dim 132 (128-lane padding plus sublane-slice
+relayouts in the trailing update eat the gain), and a
+b_tile-instances-per-grid-step variant of this kernel tripped Mosaic's
+(b, 1, 1) scalar-broadcast layout check — the per-instance grid is what
+ships.
 """
 
 from __future__ import annotations
@@ -112,6 +128,102 @@ def _ldlt_kernel(a_ref, lt_ref, d_ref, *, n: int, block: int):
             lt_ref[kb + block:, kb + block:] = t - lax.dot_general(
                 ptr, ptr * dcol, (((0,), (0,)), ((), ())),
                 preferred_element_type=t.dtype)
+
+
+def _ldlt_kernel_batched(a_ref, lt_ref, d_ref, *, n: int, block: int):
+    """One grid step factors ONE batch instance; refs are (1, n, n)/(1, 1, n)
+    VMEM blocks selected by the batch grid index.  Same algorithm as
+    `_ldlt_kernel`."""
+    nblocks = n // block
+    lt_ref[0] = a_ref[0]
+    lane_ids = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    sub_ids = lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+
+    for k in range(nblocks):
+        kb = k * block
+        pt0 = lt_ref[0, kb:kb + block, :]
+        dpan0 = jnp.zeros((1, block), dtype=pt0.dtype)
+
+        def col_step(jj, carry):
+            pt, dpan = carry
+            j = kb + jj
+            dj = jnp.sum(jnp.where((sub_ids == jj) & (lane_ids == j), pt, 0.0))
+            inv = 1.0 / _safe(dj)
+            l_row = jnp.sum(jnp.where(sub_ids == jj, pt, 0.0), axis=0,
+                            keepdims=True)
+            l_row = jnp.where(lane_ids > j, l_row * inv, 0.0)
+            l_col = jnp.sum(jnp.where(lane_ids == j, pt, 0.0), axis=1,
+                            keepdims=True)
+            l_col = jnp.where(sub_ids > jj, l_col * inv, 0.0)
+            pt = pt - dj * (l_col * l_row)
+            pt = jnp.where(sub_ids == jj, l_row, pt)
+            dpan = jnp.where(
+                lax.broadcasted_iota(jnp.int32, (1, block), 1) == jj, dj, dpan)
+            return pt, dpan
+
+        pt, dpan = lax.fori_loop(jnp.int32(0), jnp.int32(block), col_step,
+                                 (pt0, dpan0))
+        lt_ref[0, kb:kb + block, :] = pt
+        d_ref[0, :, kb:kb + block] = dpan
+
+        rest = n - (kb + block)
+        if rest:
+            ptr = pt[:, kb + block:]
+            dcol = jnp.sum(
+                jnp.where(lax.broadcasted_iota(jnp.int32, (block, block), 1)
+                          == sub_ids, dpan, 0.0), axis=1, keepdims=True)
+            t = lt_ref[0, kb + block:, kb + block:]
+            lt_ref[0, kb + block:, kb + block:] = t - lax.dot_general(
+                ptr, ptr * dcol, (((0,), (0,)), ((), ())),
+                preferred_element_type=t.dtype)
+
+
+def _bmap(b):
+    # index maps return (b, z, z) with z typed like b: plain python-0
+    # literals trace to i64 under jax_enable_x64 and Mosaic refuses the
+    # mixed (i32, i64, i64) index tuple
+    z = jnp.zeros((), dtype=b.dtype) if hasattr(b, "dtype") else 0
+    return (b, z, z)
+
+
+@partial(jax.jit, static_argnames=("block", "zero_pivot_rtol", "interpret"))
+def ldlt_factor_pallas_batched(A: jnp.ndarray, block: int = 32,
+                               zero_pivot_rtol: float = 1e-32,
+                               interpret: bool = False) -> LDLT:
+    """Batched Pallas LDL^T: A is (B, n, n); the batch is the Pallas grid
+    axis (one instance per grid step), so Mosaic pipelines each instance's
+    HBM->VMEM transfer against the previous instance's compute.  Same
+    padding/inertia contract as the single-instance kernel."""
+    B0, n0 = A.shape[0], A.shape[-1]
+    dtype = A.dtype
+    unit = max(block, 128)
+    n = -(-max(n0, 1) // unit) * unit
+    pad = n - n0
+    if pad:
+        A = jnp.pad(A, ((0, 0), (0, pad), (0, pad)))
+        A = A.at[:, jnp.arange(n0, n), jnp.arange(n0, n)].set(1.0)
+
+    LT, d2 = pl.pallas_call(
+        partial(_ldlt_kernel_batched, n=n, block=block),
+        grid=(B0,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B0, n, n), dtype),
+            jax.ShapeDtypeStruct((B0, 1, n), dtype),
+        ),
+        in_specs=[pl.BlockSpec((1, n, n), _bmap, memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, n, n), _bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), _bmap, memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(A)
+    d = d2[:, 0, :n0]
+    eye = jnp.eye(n, dtype=dtype)
+    L = jnp.triu(LT, 1).transpose(0, 2, 1) + eye
+    L = L[:, :n0, :n0]
+    pos, neg, zero = jax.vmap(partial(_inertia,
+                                      zero_pivot_rtol=zero_pivot_rtol))(d)
+    return LDLT(L, d, pos, neg, zero)
 
 
 @partial(jax.jit, static_argnames=("block", "zero_pivot_rtol", "interpret"))
