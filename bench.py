@@ -103,18 +103,17 @@ def _fused_only(preset_name: str, b_sz: int, kkt_dtype: str):
                                        build_bucketed_batch_sqp)
 
     if preset_name == "filtersqp":
-        # ~13% of this family stalls under filtersqp: the bucketed driver
-        # retires converged lanes AND keeps every device execution bounded
-        # (the B>=1024 watchdog-crash fix); max_iterations=60 bounds the
-        # stalled tail (solved instances need ~10-20)
+        # round-5: the filtersqp stall tail is FIXED (the bound-
+        # complementarity residual let two-sided variables mask the lower
+        # product; with the corrected priority every lane of this family
+        # solves: 8185 tight + 7 loose of 8192).  The bucketed driver is
+        # still the right shape — converged lanes retire between segments
+        # and every device execution stays bounded (the B>=1024
+        # remote-watchdog fix); measured 2190 solves/s at B=8192 with
+        # segment=5 vs 534 at segment=30
         p_opts = preset(preset_name, scale_functions=False,
                         kkt_dtype=kkt_dtype, max_iterations=60)
         nlp_s, x0s, ps = _flagship_n(b_sz, 8)
-        # segment=5: this family's median solve is 2 TR iterations (p50
-        # measured on-device), so short slices retire the bulk of the
-        # batch almost immediately and the stalled ~12% tail runs at
-        # small-bucket cost — 239.6 -> 482.8 solves/s at B=8192 vs
-        # segment=30 (the per-slice host sync is ~30-40 ms, negligible)
         _, run_s = build_bucketed_batch_sqp(nlp_s, p_opts,
                                             params_example=jnp.asarray(ps[0]),
                                             segment=5, min_bucket=64)
@@ -422,6 +421,66 @@ def main():
             "banded_ms": round(banded_ms, 3),
             "dense_ms": round(dense_ms, 3),
             "speedup": round(dense_ms / max(banded_ms, 1e-9), 1)}
+
+    # ------------------------------------------------------------------
+    # general-sparse supernodal LDL^T vs dense (round-5 component close;
+    # full sweep incl. real irregular patterns: tools/bench_sparse_kkt.py
+    # -> SPARSE_KKT_r05.json).  Re-measure the headline crossover case
+    # here so the driver's own capture carries it.
+    # ------------------------------------------------------------------
+    if not quick:
+        from uno_tpu.linalg.sparse_ldlt import build_plan, make_sparse_ldlt
+        Nsp, bw_sp = 8192, 4
+        pat = np.zeros((Nsp, Nsp), dtype=bool)
+        for o in range(bw_sp + 1):
+            idx = np.arange(Nsp - o)
+            pat[idx, idx + o] = True
+            pat[idx + o, idx] = True
+        pat[-2:, :] = True
+        pat[:, -2:] = True
+        Asp = np.where(pat, rng.standard_normal((Nsp, Nsp)), 0.0)
+        Asp = ((Asp + Asp.T) / 2).astype(np.float32)
+        Asp[np.diag_indices(Nsp)] = 10.0 + rng.random(Nsp)
+        plan = build_plan(pat, np.zeros(Nsp, dtype=bool))
+        sp_fac, sp_solve = make_sparse_ldlt(plan)
+        Aspj = jnp.asarray(Asp, dtype=jnp.float32)
+        rhs_sp = jnp.asarray(rng.standard_normal(Nsp), dtype=jnp.float32)
+
+        def make_sparse(K):
+            @jax.jit
+            def cycles(b, Am):
+                def body(_, carry):
+                    bk, acc = carry
+                    fac = sp_fac(Am)
+                    sol = sp_solve(fac, bk)
+                    acc = acc + jnp.asarray(fac.num_neg, acc.dtype)
+                    return sol / jnp.maximum(jnp.linalg.norm(sol), 1e-30), acc
+                return jax.lax.fori_loop(0, K, body,
+                                         (b, jnp.zeros((), jnp.int64)))
+            return lambda b: cycles(b, Aspj)
+
+        fac_sp_dense = pick_factorizer(Nsp, opts.ldlt_block_size)
+
+        def make_sparse_dense(K):
+            @jax.jit
+            def cycles(b, Am):
+                def body(_, carry):
+                    bk, acc = carry
+                    fac = fac_sp_dense(Am)
+                    sol = ldlt_solve(fac, bk)
+                    acc = acc + jnp.asarray(fac.num_neg, acc.dtype)
+                    return sol / jnp.maximum(jnp.linalg.norm(sol), 1e-30), acc
+                return jax.lax.fori_loop(0, K, body,
+                                         (b, jnp.zeros((), jnp.int64)))
+            return lambda b: cycles(b, Aspj)
+
+        sp_ms = chain_ms(make_sparse, rhs_sp, K1=2, K2=8)
+        spd_ms = chain_ms(make_sparse_dense, rhs_sp, K1=2, K2=6)
+        detail["sparse_supernodal_n8192"] = {
+            "sparse_ms": round(sp_ms, 3), "dense_ms": round(spd_ms, 3),
+            "speedup": round(spd_ms / max(sp_ms, 1e-9), 2),
+            "num_supernodes": plan.num_supernodes,
+            "nnz_factor": plan.nnz_factor}
 
     result = {
         "metric": "batched_ipm_solves_per_sec",
