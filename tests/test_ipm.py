@@ -225,3 +225,29 @@ def test_user_callbacks_all_hooks():
     assert calls["primals"] == res.iterations
     assert calls["multipliers"] == res.iterations
     assert calls["acceptable"] == 1
+
+
+def test_bound_complementarity_priority():
+    """Round-5 regression (the fused-filtersqp stall-tail root cause): on a
+    TWO-SIDED variable the lower product zl*(x-lb) must take priority over
+    the upper product when zl > 0 — the reference checks lower FIRST
+    (OptimizationProblem.cpp:152-165).  The inverted priority let a
+    far-from-active lower bound's dual dust hide behind a tiny upper
+    product, so QPs under a trust region (every variable two-sided)
+    terminated with unconverged complementarity."""
+    import jax.numpy as jnp
+    from uno_tpu.ingredients import barrier as bar
+
+    x = jnp.array([0.5])
+    lb = jnp.array([0.0])
+    ub = jnp.array([10.0])
+    has = jnp.array([True])
+    zl = jnp.array([0.2])      # positive dual on a NON-active lower bound
+    zu = jnp.array([-1e-9])    # tiny upper dust, far bound
+    e = bar.bound_complementarity_error(x, zl, zu, lb, ub, has, has)
+    # the lower product 0.2*0.5 = 0.1 must be reported, not the upper dust
+    assert abs(float(e[0]) - 0.1) < 1e-12
+    # with zl <= 0 the upper product is reported
+    e2 = bar.bound_complementarity_error(x, jnp.array([0.0]), zu, lb, ub,
+                                         has, has)
+    assert abs(float(e2[0]) - float(zu[0] * (x[0] - ub[0]))) < 1e-15
