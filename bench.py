@@ -282,7 +282,9 @@ def main():
         # measured single-core reference at each n (uno_baseline
         # flagship_bench vars=N, ipopt preset, tol 1e-8; round 4)
         curve = {}
-        baseline_n = {32: None, 128: 48.4, 512: 0.93}
+        # measured single-core reference (BASELINE.md): uno_baseline
+        # flagship_bench vars=N; round-5 adds the n=32 denominator
+        baseline_n = {32: 2804.0, 128: 48.4, 512: 0.93}
         for n_sz, b_sz in ((32, 8192), (128, 2048), (512, 256)):
             nlp_n, x0n, pn = _flagship_n(b_sz, n_sz)
             _, run_n = build_batch_ipm(nlp_n, opts,
