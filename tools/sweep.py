@@ -173,6 +173,7 @@ def main():
                 print(f"  FAIL {r['name']:<24} status={r['status']:<20} "
                       f"f={r['f']:.6g} err={r['err']:.2g} iters={r['iters']}")
         summary[preset] = {
+            "platform": jax.default_backend(),
             "solved": len(solved), "total": len(rows),
             "total_obj_evals": int(sum(r["nfev"] for r in solved)),
             "median_iters": float(np.median([r["iters"] for r in solved]))
