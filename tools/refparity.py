@@ -97,8 +97,12 @@ def compare(preset, ref, ours, manifest):
     # exceeding the reference passes; only a DEFICIT beyond 1% fails
     summary = {
         "preset": preset,
-        "ref_size_cap": ("n+m<=150 (same cap tools/sweep.py applies to SQP "
-                         "tiers)" if preset != "ipopt" else None),
+        "ref_size_cap": (None if preset == "ipopt" else
+                         "n+m<=150 (SLP's 2000-iteration tail makes the "
+                         "extended tier a multi-hour run on both sides; "
+                         "documented exclusion)" if preset == "filterslp"
+                         else "n+m<=600 (round-4 verdict item 2: the "
+                         "extended tier both sides now sweep)"),
         "corpus": n,
         "reference_solved": ref_solved,
         "uno_tpu_solved": ours_solved,
