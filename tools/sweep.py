@@ -83,9 +83,27 @@ MAX_ITER = {"ipopt": 2000, "filtersqp": 2000, "funnelsqp": 2000,
             "byrd": 2000, "filterslp": 2000}
 
 
-def run_preset(preset, names, sqp_cap=150, max_n=None, min_n=None, flush=None):
+def run_preset(preset, names, sqp_cap=150, max_n=None, min_n=None, flush=None,
+               skip=(), wall_cap=None, time_limit=None):
+    # wall_cap bounds EVERYTHING per problem (compile included) via
+    # SIGALRM — the sweep-side analogue of the reference harness's
+    # time_limit=120 per-problem cap; capped rows are recorded as
+    # status "timeout(wall_cap)" and counted unsolved, never silently
+    # dropped (round-4 verdict item 2: document exclusions per problem).
+    import signal
+
+    class _WallCap(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _WallCap()
+
+    if wall_cap:
+        signal.signal(signal.SIGALRM, _alarm)
     rows = []
     for name in names:
+        if name in skip:
+            continue
         if flush is not None and len(rows) % 10 == 9:
             flush(preset, rows)
         nlp = get_problem(name)
@@ -97,14 +115,27 @@ def run_preset(preset, names, sqp_cap=150, max_n=None, min_n=None, flush=None):
             continue
         t0 = time.perf_counter()
         try:
+            if wall_cap:
+                signal.alarm(wall_cap)
+            kw = {}
+            if time_limit:
+                # same per-problem cap the reference-side nlsweep runs
+                # with (time_limit=120): the fused drivers check wall
+                # clock in-loop, so execution is bounded symmetrically
+                kw["time_limit"] = float(time_limit)
             res = uno_tpu.solve(nlp, preset=preset,
-                                max_iterations=MAX_ITER[preset])
+                                max_iterations=MAX_ITER[preset], **kw)
             status = res.status
             f = float(res.objective)
             nit = int(res.iterations)
             nf = int(res.num_objective_evaluations)
+        except _WallCap:
+            status, f, nit, nf = "timeout(wall_cap)", np.nan, 0, 0
         except Exception as exc:  # noqa: BLE001 — sweep must not abort
             status, f, nit, nf = f"error({type(exc).__name__})", np.nan, 0, 0
+        finally:
+            if wall_cap:
+                signal.alarm(0)
         wall = time.perf_counter() - t0
         optima = acceptable_optima(name)
         if optima and np.isfinite(f):
@@ -112,7 +143,7 @@ def run_preset(preset, names, sqp_cap=150, max_n=None, min_n=None, flush=None):
         else:
             err = np.nan
         ok = False
-        if not str(status).startswith("error"):
+        if not str(status).startswith(("error", "timeout")):
             # performance profiles count objective convergence; a feasible
             # small-step termination AT a known optimum is a solve
             terminated_ok = res.success or (
@@ -144,6 +175,16 @@ def main():
     min_n = popopt("--min-n")
     min_n = int(min_n) if min_n else None
     sqp_cap = int(popopt("--sqp-cap", "150"))
+    wall_cap = popopt("--wall-cap")
+    wall_cap = int(wall_cap) if wall_cap else None
+    time_limit = popopt("--time-limit")
+    time_limit = float(time_limit) if time_limit else None
+    skip_done = popopt("--skip-done")  # existing artifact: skip its rows
+    done = {}
+    if skip_done:
+        with open(skip_done) as fh:
+            for preset, rows_ in json.load(fh).get("rows", {}).items():
+                done[preset] = {r["name"] for r in rows_}
     if sl:
         start, stop = sl.split(":")
         names = names[int(start):int(stop)]
@@ -163,7 +204,9 @@ def main():
 
     for preset in presets:
         rows = run_preset(preset, names, sqp_cap=sqp_cap, max_n=max_n,
-                          min_n=min_n, flush=flush)
+                          min_n=min_n, flush=flush,
+                          skip=done.get(preset, ()), wall_cap=wall_cap,
+                          time_limit=time_limit)
         all_rows[preset] = rows
         solved = [r for r in rows if r["solved"]]
         print(f"\n== {preset}: {len(solved)}/{len(rows)} solved "
