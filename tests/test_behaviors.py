@@ -244,6 +244,32 @@ def test_time_limit_status_sqp_fused(preset):
     assert res.status == "time_limit"
 
 
+def test_time_limit_segmented_runner_no_host_callbacks(monkeypatch):
+    """Backends without host callbacks (the axon remote-TPU tunnel raises
+    UNIMPLEMENTED for pure_callback inside jit) take the SEGMENTED timed
+    runner: bounded while_loop segments with a host clock check between
+    them.  Forced here by stubbing the capability probe; both the capped
+    and the converge-within-first-segment regimes are pinned."""
+    from uno_tpu.utils import timer
+    from uno_tpu.model.library import chained_rosenbrock, get_problem
+    monkeypatch.setattr(timer, "host_callbacks_supported", lambda: False)
+    orig = timer.make_timed_runner
+    monkeypatch.setattr(  # segment=1 so the clock check fires immediately
+        timer, "make_timed_runner",
+        lambda step, tl, rs, ts, segment=32: orig(step, tl, rs, ts,
+                                                  segment=1))
+    res = uno_tpu.solve(chained_rosenbrock(40), preset="filtersqp",
+                        time_limit=1e-9, sqp_driver="fused")
+    # granularity is one segment of while_loop trips: a problem still
+    # running at the first between-segment check is stamped time_limit
+    assert res.status == "time_limit"
+    # a fast solve may legitimately FINISH within the first segment before
+    # any clock check — convergence must be undisturbed
+    res2 = uno_tpu.solve(get_problem("hs015"), preset="ipopt",
+                         time_limit=600.0)
+    assert res2.success and abs(res2.objective - 306.5) < 1e-3
+
+
 def test_time_limit_generous_budget_solves():
     """A generous finite time_limit must not disturb convergence (the
     wrapped fused step only overwrites status when the budget is spent)."""

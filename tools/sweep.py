@@ -188,6 +188,13 @@ def main():
     if sl:
         start, stop = sl.split(":")
         names = names[int(start):int(stop)]
+    if "--order-by-size" in argv:
+        # smallest instances first: maximizes row coverage per wall-hour
+        # when a sweep may be cut off (coverage is reported per problem
+        # either way, so ordering never changes the result set semantics)
+        argv.remove("--order-by-size")
+        names = sorted(names, key=lambda nm: (lambda p: p.n + p.m)(
+            get_problem(nm)))
     if names_opt:
         wanted = names_opt.split(",")
         names = [n for n in names if n in wanted]

@@ -1115,29 +1115,14 @@ def build_ipm(nlp: NLP, opts: Options, mesh=None):
             slack_cols, prob.structure.hess_bandwidth,
             prob.structure.jac_width, tau=opts.lifted_kkt_relaxation)
     step = make_ipm_step(prob, ws, opts, kkt_backend=kkt_backend)
-    clock = None
-    if np.isfinite(opts.time_limit):
-        # in-loop wall-clock limit (reference checks the Timer every outer
-        # iteration, Uno.cpp:61-78): the fused while_loop polls the host
-        # clock through a pure_callback after each step; with the default
-        # time_limit=inf the HLO is unchanged
-        from uno_tpu.utils.timer import RunClock, wrap_step_with_time_limit
-        clock = RunClock()
-        step = wrap_step_with_time_limit(step, opts.time_limit, clock,
-                                         RUNNING, TIME_LIMIT)
-
-    def run(state):
-        return lax.while_loop(lambda s: s.status == RUNNING, step, state)
-
-    runj = jax.jit(run)
-    if clock is None:
-        return prob, ws, step, runj
-
-    def run_timed(state):
-        clock.restart()
-        return runj(state)
-
-    return prob, ws, step, run_timed
+    # in-loop wall-clock limit (reference checks the Timer every outer
+    # iteration, Uno.cpp:61-78); with the default time_limit=inf the HLO
+    # is unchanged.  On backends without host callbacks (the axon TPU
+    # tunnel) a finite limit uses the segmented runner instead of the
+    # pure_callback poll — see utils/timer.make_timed_runner.
+    from uno_tpu.utils.timer import make_timed_runner
+    step, run = make_timed_runner(step, opts.time_limit, RUNNING, TIME_LIMIT)
+    return prob, ws, step, run
 
 
 def map_fixed_bound_duals(nlp_orig, y_full_scaled, zl, zu):

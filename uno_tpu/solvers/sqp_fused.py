@@ -1160,26 +1160,11 @@ def _finalize_fused(step, opts):
     """Shared tail of the fused builders: optional in-loop wall-clock limit
     (reference checks the Timer every outer iteration, Uno.cpp:61-78; with
     the default time_limit=inf the HLO is unchanged) + the jitted
-    while_loop runner."""
-    clock = None
-    if np.isfinite(opts.time_limit):
-        from uno_tpu.utils.timer import RunClock, wrap_step_with_time_limit
-        clock = RunClock()
-        step = wrap_step_with_time_limit(step, opts.time_limit, clock,
-                                         RUNNING, 7)  # 7 = TIME_LIMIT
-
-    def run(state):
-        return lax.while_loop(lambda s: s.status == RUNNING, step, state)
-
-    runj = jax.jit(run)
-    if clock is None:
-        return step, runj
-
-    def run_timed(state):
-        clock.restart()
-        return runj(state)
-
-    return step, run_timed
+    while_loop runner.  On backends without host callbacks (the axon TPU
+    tunnel) a finite limit uses the segmented runner instead of the
+    pure_callback poll — see utils/timer.make_timed_runner."""
+    from uno_tpu.utils.timer import make_timed_runner
+    return make_timed_runner(step, opts.time_limit, RUNNING, 7)  # 7=TIME_LIMIT
 
 
 def build_byrd_fused(nlp: NLP, opts: Options):

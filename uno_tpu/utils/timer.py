@@ -68,3 +68,96 @@ def wrap_step_with_time_limit(step, time_limit, clock, running_status,
     # exposed so batch drivers can restart the clock per run invocation
     timed_step.run_clock = clock
     return timed_step
+
+
+_HOST_CB_SUPPORT: dict = {}
+
+
+def host_callbacks_supported() -> bool:
+    """Whether the default backend can run jax host callbacks inside jit.
+
+    The axon remote-TPU tunnel raises UNIMPLEMENTED for host send/recv
+    callbacks (pure_callback / io_callback / debug.callback), so the
+    in-loop clock poll cannot be compiled there.  Probed once per backend
+    with a trivial jitted callback and cached."""
+    backend = jax.default_backend()
+    if backend not in _HOST_CB_SUPPORT:
+        try:
+            probe = jax.jit(lambda: jax.pure_callback(
+                lambda: np.float64(0.0),
+                jax.ShapeDtypeStruct((), np.float64)))
+            jax.block_until_ready(probe())
+            _HOST_CB_SUPPORT[backend] = True
+        except Exception:  # noqa: BLE001 — any failure means "don't use"
+            _HOST_CB_SUPPORT[backend] = False
+    return _HOST_CB_SUPPORT[backend]
+
+
+def make_timed_runner(step, time_limit, running_status, time_limit_status,
+                      segment=32):
+    """The shared tail of the fused solver builders: a jitted
+    ``lax.while_loop`` runner with the reference's wall-clock limit
+    semantics (Timer checked every outer iteration, Uno.cpp:61-78).
+
+    Returns ``(step, run)``.  Three regimes:
+
+    - ``time_limit`` infinite (the default): plain jitted while_loop —
+      the HLO carries no clock machinery at all.
+    - finite + host callbacks available (CPU, direct TPU): the
+      ``wrap_step_with_time_limit`` pure_callback poll, checked every
+      iteration exactly like the reference.
+    - finite + NO host callbacks (the axon TPU tunnel): segmented
+      fallback — the while_loop additionally exits every ``segment``
+      iterations so the HOST can read the clock between segments and
+      stamp ``TIME_LIMIT`` itself.  Granularity is one segment instead
+      of one iteration; semantics are otherwise identical, and the
+      returned step is the UNWRAPPED step (host drivers do their own
+      wall checks)."""
+    from jax import lax
+
+    def cond_running(s):
+        return s.status == running_status
+
+    if not np.isfinite(float(time_limit)):
+        return step, jax.jit(
+            lambda state: lax.while_loop(cond_running, step, state))
+
+    if host_callbacks_supported():
+        clock = RunClock()
+        tstep = wrap_step_with_time_limit(step, time_limit, clock,
+                                          running_status, time_limit_status)
+        runj = jax.jit(
+            lambda state: lax.while_loop(cond_running, tstep, state))
+
+        def run_timed(state):
+            clock.restart()
+            return runj(state)
+
+        return tstep, run_timed
+
+    limit = float(time_limit)
+    run_int = int(running_status)
+
+    # the segment bound counts while_loop TRIPS via an auxiliary carry —
+    # NOT state.iteration, which in the SQP drivers counts only ACCEPTED
+    # steps and could stall under a trust-region rejection spiral
+    def run_segment(state):
+        out = lax.while_loop(
+            lambda c: (c[0].status == running_status) & (c[1] < segment),
+            lambda c: (step(c[0]), c[1] + 1),
+            (state, jnp.asarray(0, dtype=jnp.int32)))
+        return out[0]
+
+    runj_seg = jax.jit(run_segment)
+
+    def run_timed_segmented(state):
+        t0 = time.monotonic()
+        while True:
+            state = jax.block_until_ready(runj_seg(state))
+            if int(state.status) != run_int:
+                return state
+            if time.monotonic() - t0 > limit:
+                return state._replace(status=jnp.asarray(
+                    time_limit_status, dtype=state.status.dtype))
+
+    return step, run_timed_segmented
