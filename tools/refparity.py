@@ -111,12 +111,12 @@ def compare(preset, ref, ours, manifest):
         "ref_minus_ours": ref_solved - ours_solved,
         "ref_time_limited_rows": ref_time_limited,
         "time_limit_caveat": ("reference rows with status time_limit hit "
-                              "the 120 s per-problem cap, dominated by the "
-                              "bridge's dense postfix-AD Hessians on "
-                              "n=1000 instances (ASL would be sparse) — "
-                              "an evaluation-cost artifact, not an Uno "
-                              "algorithm failure") if ref_time_limited
-        else None,
+                              "the per-problem wall cap (120 s; 1800 s on "
+                              "retried n=1000 ipopt rows) — the SAME cap "
+                              "the uno_tpu sweep runs under (round 5: "
+                              "--time-limit 120), so capped rows count "
+                              "unsolved symmetrically on both sides")
+        if ref_time_limited else None,
         "within_1pct": ours_solved >= ref_solved - max(1, round(0.01 * n)),
         "exceeds_reference": ours_solved > ref_solved,
         "note": (f"reference = /root/reference libuno ({preset} preset; "
