@@ -863,17 +863,28 @@ def make_ipm_step(prob: NLP, ws: IPMWorkspace, opts: Options,
 
         changed_next = back_ok | to_feas
         sigma_next = jnp.where(phase_n == 1, 0.0, 1.0)
+        # On an optimality-phase LS failure the reference checks termination
+        # BEFORE switching to restoration (BacktrackingLineSearch.cpp:91-99:
+        # terminate_with_small_step_length precedes switch_to_feasibility
+        # _problem), i.e. with the objective multiplier still 1 at the
+        # (unchanged) iterate.  Checking with the new phase's sigma=0 instead
+        # resets the loose-tolerance consecutive counter every time the
+        # solver bounces through restoration at a near-KKT point — hs009
+        # 2-cycles at its optimum for 2000 iterations (round-5 recorded
+        # regression) because each restoration entry wiped the count the
+        # reference would have kept.
+        sigma_check = jnp.where(to_feas, 1.0, sigma_next)
 
         # -- residuals at the new iterate, with the new phase's multiplier --
         res = _residuals(prob, ws, opts, x_n, y_n, zl_n, zu_n,
                          y_f_n, zl_f_n, zu_f_n, p_n, q_n, zp_n, zq_n,
-                         sigma_next, nu, s.params)
+                         sigma_check, nu, s.params)
 
         # -- termination -----------------------------------------------------
         kkt_tight, infeas_tight = _first_order_status(
-            ws, opts, res, sigma_next, y_f_n, zl_f_n, zu_f_n, opts.tolerance)
+            ws, opts, res, sigma_check, y_f_n, zl_f_n, zu_f_n, opts.tolerance)
         kkt_loose, infeas_loose = _first_order_status(
-            ws, opts, res, sigma_next, y_f_n, zl_f_n, zu_f_n, opts.loose_tolerance)
+            ws, opts, res, sigma_check, y_f_n, zl_f_n, zu_f_n, opts.loose_tolerance)
 
         status = jnp.asarray(RUNNING)
         unbounded = f_n < opts.unbounded_objective_threshold
